@@ -1,0 +1,28 @@
+"""ptudes-tpu: TPU-native point etudes lab.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+bexcite/ptudes-lab (lidar-inertial odometry, SLAM, evaluation and
+visualization around Ouster lidar data), re-designed TPU-first:
+
+* the per-scan pipeline (deskew -> voxelize -> NN-ICP -> map update -> EKF)
+  is one jit-compiled ``scan_step`` under ``lax.scan``;
+* the local map is a fixed-capacity, static-shape voxel hash table in HBM;
+* parallelism comes from ``vmap`` over sequences and ``shard_map`` over a
+  TPU mesh (the reference is single-threaded CPU python — SURVEY.md section 2c).
+"""
+
+import jax as _jax
+
+# Geometry / state estimation is precision-critical: JAX's default matmul
+# precision lowers f32 matmuls to bf16 passes (~8 mantissa bits), which at
+# lidar ranges (100 m) means tens-of-cm coordinate error inside pose chains,
+# ICP Jacobian products and EKF covariance updates. All matmuls in this
+# framework are small (3x3 pose chains, Nx6 GN reductions, 18x18 EKF), so
+# full f32 precision costs nothing while being required for correctness.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+__version__ = "0.1.0"
+
+GRAV = 9.782940329221166
+"""Gravity constant, numerically identical to the reference
+(``src/ptudes/ins/data.py:10``)."""
