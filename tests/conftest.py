@@ -3,15 +3,21 @@
 Tests never require real TPU hardware: multi-chip sharding is validated on
 XLA's host-platform device emulation, per the rebuild test plan
 (SURVEY.md section 4).
+
+Note: this environment preloads jax via sitecustomize (axon TPU tunnel),
+so flipping the platform must happen through jax.config *after* import —
+env vars alone are not enough. The CPU client is created lazily, so
+XLA_FLAGS set here still takes effect.
 """
 import os
 
-# Must run before jax is imported anywhere. The environment presets
-# JAX_PLATFORMS=axon (tunneled real TPU); tests always run on virtual CPU
-# devices, so override unconditionally.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
