@@ -1,0 +1,86 @@
+"""Typed configuration for ptudes-tpu.
+
+The reference scatters tuning across click options, hard-coded constants and
+kiss-icp's ``load_config`` (reference ``src/ptudes/kiss.py:40-43``,
+``src/ptudes/ins/es_ekf.py:101-119``). Here everything is explicit, frozen
+dataclasses: hashable, so they can be closed over by ``jax.jit`` as static
+configuration, with static capacities that fix all device array shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class KissConfig:
+    """KISS-ICP odometry parameters.
+
+    Defaults follow kiss-icp's ``load_config(None, deskew=True, max_range=R)``
+    as invoked by the reference wrapper (``src/ptudes/kiss.py:40-43``):
+    ``voxel_size`` defaults to ``max_range / 100``; the flagship CLI overrides
+    min/max range to 1/70 m (``src/ptudes/cli/ekf_bench.py:356-363``).
+    """
+    max_range: float = 100.0
+    min_range: float = 5.0
+    deskew: bool = True
+    voxel_size: float | None = None  # None -> max_range / 100
+    max_points_per_voxel: int = 20
+    # adaptive threshold (kiss-icp AdaptiveThreshold defaults)
+    initial_threshold: float = 2.0
+    min_motion_th: float = 0.1
+    # registration: kiss-icp runs <=500 GN iterations with 1e-4 early stop;
+    # on TPU we run a fixed count with a convergence mask (SURVEY.md section 7)
+    max_iterations: int = 50
+    convergence_criterion: float = 1e-4
+
+    @property
+    def resolved_voxel_size(self) -> float:
+        return self.max_range / 100.0 if self.voxel_size is None else self.voxel_size
+
+
+@dataclass(frozen=True)
+class Capacity:
+    """Static shapes for the device pipeline.
+
+    All dynamic-size structures of the reference (per-scan point counts,
+    voxel map growth) become fixed-capacity arrays + validity masks so that
+    XLA sees static shapes (SURVEY.md section 7, 'Hard parts').
+    """
+    max_points: int = 131072      # raw points per scan (H*W; 128x1024)
+    max_frame: int = 32768        # downsampled frame (map insert) capacity
+    max_source: int = 8192        # ICP source capacity
+    map_capacity: int = 1 << 19   # voxel hash slots (power of two)
+    max_probes: int = 8           # open-addressing probe length
+    dedup_table: int = 1 << 20    # scratch table for voxel downsample
+
+
+@dataclass(frozen=True)
+class EkfConfig:
+    """ES-EKF tuning, numerically identical to the reference constants
+    (``src/ptudes/ins/es_ekf.py:101-119``, meas defaults ``:289-292``)."""
+    init_pos_std: float = 10.0
+    init_vel_std: float = 5.0
+    init_att_rpy_deg: float = 10.0
+    init_bg_std: float = 1.5
+    init_ba_std: float = 0.5
+    init_grav_std: float = 2.5
+    acc_bias_std: float = 0.049
+    gyr_bias_std: float = 0.38
+    acc_vrw: float = 0.0043
+    gyr_arw: float = 0.000466
+    meas_pos_std: float = 0.02
+    meas_att_std: float = 0.01
+    # improvement over the reference: Joseph-form covariance update +
+    # symmetrization for f32 stability (reference runs f64 numpy)
+    joseph_form: bool = True
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Fused LIO pipeline (scan_step under lax.scan)."""
+    kiss: KissConfig = dataclasses.field(default_factory=KissConfig)
+    cap: Capacity = dataclasses.field(default_factory=Capacity)
+    ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
+    max_imu_per_scan: int = 16     # reference interleaves ~10 IMU per scan
+    guess: str = "kiss"            # 'kiss' | 'ekf' | 'gt' (ekf_bench.py:533-548)

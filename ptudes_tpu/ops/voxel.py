@@ -1,0 +1,141 @@
+"""Static-shape voxel downsampling.
+
+TPU-native equivalent of kiss-icp's C++ ``voxel_down_sample`` (reference
+call site ``src/ptudes/kiss.py:96`` via ``voxelize``): keep the FIRST point
+falling into each voxel (kiss semantics — insertion order), with all shapes
+static.
+
+Design (SURVEY.md section 7, stage 5): instead of a hash-set with dynamic
+growth, we scatter each point's linear index into a scratch table slot
+addressed by a spatial hash of its voxel coordinate, reducing with ``min``.
+A point survives iff it won its slot (lowest index == first in scan order).
+True hash collisions (two different voxels, same slot) drop the losing
+voxel's points entirely — an acceptable, slightly stronger downsample with
+probability ~N/table_size (<2% at defaults); the table is sized in
+:class:`ptudes_tpu.config.Capacity` (``dedup_table``).
+
+Compaction to a fixed output capacity is a single cumsum+scatter (no sort).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_H1 = jnp.uint32(73856093)
+_H2 = jnp.uint32(19349669)
+_H3 = jnp.uint32(83492791)
+_INT_MAX = jnp.int32(2**31 - 1)
+
+
+def voxel_coords(pts: jax.Array, voxel_size: float) -> jax.Array:
+    """Points (..., 3) -> integer voxel coordinates (..., 3) int32."""
+    return jnp.floor(pts / voxel_size).astype(jnp.int32)
+
+
+def spatial_hash(coords: jax.Array, table_size: int) -> jax.Array:
+    """3D spatial hash -> [0, table_size).
+
+    kiss-icp's classic prime-multiply hash has structured low bits, which
+    collide badly under power-of-two masking on dense voxel grids; a
+    murmur3-style finalizer mixes the high bits down.
+    """
+    c = coords.astype(jnp.uint32)
+
+    def mix(h):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        return h ^ (h >> 16)
+
+    # mixing each coordinate independently before combining removes the
+    # linear structure that makes xor-of-multiplies collide on dense grids
+    h = (
+        mix(c[..., 0] * _H1)
+        ^ (mix(c[..., 1] * _H2) * jnp.uint32(0x9E3779B9))
+        ^ (mix(c[..., 2] * _H3) * jnp.uint32(0x517CC1B7))
+    )
+    h = mix(h)
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def first_in_voxel_mask(
+    pts: jax.Array, mask: jax.Array, voxel_size: float, table_size: int
+) -> jax.Array:
+    """Mark the first valid point of each voxel.
+
+    Returns a bool mask [N] — True for points that survive the downsample.
+    """
+    n = pts.shape[0]
+    slots = spatial_hash(voxel_coords(pts, voxel_size), table_size)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cand = jnp.where(mask, idx, _INT_MAX)
+    table = jnp.full((table_size,), _INT_MAX, jnp.int32)
+    table = table.at[slots].min(cand)
+    return mask & (table[slots] == idx)
+
+
+def compact(
+    pts: jax.Array, mask: jax.Array, capacity: int, fill: float = 0.0
+) -> tuple[jax.Array, jax.Array]:
+    """Pack masked points to the front of a fixed-size [capacity, 3] buffer.
+
+    O(N) cumsum + one scatter; points beyond ``capacity`` are dropped.
+    Returns (out_pts [capacity, 3], out_mask [capacity]).
+    """
+    n = pts.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1            # target slot
+    ok = mask & (pos < capacity)
+    tgt = jnp.where(ok, pos, capacity)                      # overflow -> trash row
+    out = jnp.full((capacity + 1, pts.shape[-1]), fill, pts.dtype)
+    out = out.at[tgt].set(jnp.where(ok[:, None], pts, fill))
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    return out[:capacity], out_mask
+
+
+def compact_with_payload(
+    pts: jax.Array,
+    payload: jax.Array,
+    mask: jax.Array,
+    capacity: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Like :func:`compact` but carries a per-point payload column (e.g.
+    deskew timestamps). payload shape [N] or [N, K]."""
+    n = pts.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ok = mask & (pos < capacity)
+    tgt = jnp.where(ok, pos, capacity)
+    out = jnp.zeros((capacity + 1, pts.shape[-1]), pts.dtype)
+    out = out.at[tgt].set(jnp.where(ok[:, None], pts, 0.0))
+    pay2d = payload if payload.ndim == 2 else payload[:, None]
+    outp = jnp.zeros((capacity + 1, pay2d.shape[-1]), pay2d.dtype)
+    outp = outp.at[tgt].set(jnp.where(ok[:, None], pay2d, 0))
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    outp = outp[:capacity]
+    if payload.ndim == 1:
+        outp = outp[:, 0]
+    return out[:capacity], outp, out_mask
+
+
+def voxel_downsample(
+    pts: jax.Array,
+    mask: jax.Array,
+    voxel_size: float,
+    capacity: int,
+    table_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """First-point-per-voxel downsample into a fixed-capacity buffer."""
+    keep = first_in_voxel_mask(pts, mask, voxel_size, table_size)
+    return compact(pts, keep, capacity)
+
+
+def range_clip_mask(
+    pts: jax.Array, mask: jax.Array, min_range: float, max_range: float
+) -> jax.Array:
+    """kiss-icp ``Preprocess`` equivalent: clip by point norm
+    (reference pipeline step ``src/ptudes/kiss.py:93``; CLI defaults 1/70 m,
+    ``src/ptudes/cli/ekf_bench.py:356-363``)."""
+    d2 = jnp.sum(pts * pts, axis=-1)
+    return mask & (d2 >= min_range * min_range) & (d2 <= max_range * max_range)

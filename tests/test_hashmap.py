@@ -1,0 +1,130 @@
+"""Property tests for the fixed-capacity voxel hash map (SURVEY.md sec 4)."""
+import numpy as np
+import jax.numpy as jnp
+
+from ptudes_tpu.ops import hashmap
+
+RNG = np.random.default_rng(7)
+VS = 1.0
+CAP = 1 << 14
+PPV = 8
+
+
+def make_map():
+    return hashmap.create(CAP, PPV)
+
+
+def brute_nn(stored, q):
+    d = np.linalg.norm(stored[None, :, :] - q[:, None, :], axis=-1)
+    k = np.argmin(d, axis=1)
+    return stored[k], d[np.arange(len(q)), k]
+
+
+def test_insert_and_count():
+    m = make_map()
+    pts = RNG.uniform(-10, 10, size=(500, 3)).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(500, bool), voxel_size=VS)
+    assert int(hashmap.num_points(m)) == 500
+    assert not bool(hashmap.is_empty(m))
+
+
+def test_insert_respects_mask():
+    m = make_map()
+    pts = RNG.uniform(-10, 10, size=(100, 3)).astype(np.float32)
+    mask = np.zeros(100, bool)
+    mask[:30] = True
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.asarray(mask), voxel_size=VS)
+    assert int(hashmap.num_points(m)) == 30
+
+
+def test_max_points_per_voxel():
+    m = make_map()
+    # 20 points in one voxel, capacity PPV=8
+    pts = (RNG.uniform(0.1, 0.9, size=(20, 3))).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(20, bool), voxel_size=VS)
+    assert int(hashmap.num_points(m)) == PPV
+    # first PPV points in batch order are the ones kept
+    stored = np.asarray(m.points)[np.asarray(m.counts) > 0][0]
+    assert np.allclose(sorted(stored.tolist()), sorted(pts[:PPV].tolist()))
+
+
+def test_incremental_insert_same_voxel():
+    m = make_map()
+    a = np.full((3, 3), 0.2, np.float32) + RNG.uniform(0, 0.1, (3, 3)).astype(np.float32)
+    b = np.full((3, 3), 0.6, np.float32) + RNG.uniform(0, 0.1, (3, 3)).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(a), jnp.ones(3, bool), voxel_size=VS)
+    m = hashmap.insert(m, jnp.asarray(b), jnp.ones(3, bool), voxel_size=VS)
+    assert int(hashmap.num_points(m)) == 6
+    occ = np.asarray(m.counts) > 0
+    assert occ.sum() == 1  # one voxel
+
+
+def test_query_exact_nn_within_neighborhood():
+    m = make_map()
+    pts = RNG.uniform(-15, 15, size=(2000, 3)).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VS)
+    q = (pts[:300] + RNG.normal(scale=0.2, size=(300, 3))).astype(np.float32)
+    nn, d2, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    nn, d2, found = np.asarray(nn), np.asarray(d2), np.asarray(found)
+    assert found.all()
+    bn, bd = brute_nn(pts, q)
+    # query is exact whenever the true NN lies in the 27-neighborhood
+    same_nbhd = np.all(
+        np.abs(np.floor(bn / VS) - np.floor(q / VS)) <= 1, axis=-1
+    )
+    assert same_nbhd.mean() > 0.95
+    agree = np.isclose(np.sqrt(d2[same_nbhd]), bd[same_nbhd], atol=1e-5)
+    assert agree.all()
+
+
+def test_query_not_found_far_away():
+    m = make_map()
+    pts = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(100, bool), voxel_size=VS)
+    q = np.array([[100.0, 100.0, 100.0]], np.float32)
+    _, _, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    assert not bool(found[0])
+
+
+def test_remove_far_evicts():
+    m = make_map()
+    near = RNG.uniform(-5, 5, size=(50, 3)).astype(np.float32)
+    far = RNG.uniform(95, 105, size=(50, 3)).astype(np.float32)
+    m = hashmap.insert(
+        m, jnp.asarray(np.vstack([near, far])), jnp.ones(100, bool), voxel_size=VS
+    )
+    m = hashmap.remove_far(m, jnp.zeros(3), jnp.asarray(50.0**2))
+    assert int(hashmap.num_points(m)) == 50
+    # all remaining are near points
+    stored = np.asarray(m.points).reshape(-1, 3)
+    cnt_mask = (
+        np.arange(PPV)[None, :] < np.asarray(m.counts)[:, None]
+    ).reshape(-1)
+    assert (np.linalg.norm(stored[cnt_mask], axis=-1) < 50).all()
+
+
+def test_reinsert_after_eviction():
+    m = make_map()
+    pts = RNG.uniform(-5, 5, size=(50, 3)).astype(np.float32)
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(50, bool), voxel_size=VS)
+    m = hashmap.remove_far(m, jnp.zeros(3), jnp.asarray(0.01))
+    assert int(hashmap.num_points(m)) == 0
+    m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(50, bool), voxel_size=VS)
+    assert int(hashmap.num_points(m)) == 50
+    nn, d2, found = hashmap.query(m, jnp.asarray(pts[:10]), voxel_size=VS)
+    assert np.asarray(found).all()
+    assert np.allclose(np.asarray(d2), 0.0, atol=1e-6)
+
+
+def test_high_load_insert_still_resolves():
+    """At ~50% load factor, linear probing with 8 probes should keep drops rare."""
+    m = hashmap.create(1 << 12, 4)  # 4096 slots
+    # ~2000 distinct voxels
+    pts = (RNG.permutation(40**3)[:2000]).astype(np.int64)
+    coords = np.stack(np.unravel_index(pts, (40, 40, 40)), -1).astype(np.float32)
+    coords = coords + 0.5
+    m = hashmap.insert(
+        m, jnp.asarray(coords), jnp.ones(len(coords), bool), voxel_size=VS
+    )
+    stored = int(hashmap.num_points(m))
+    assert stored >= 0.99 * len(coords)
