@@ -1,0 +1,253 @@
+"""Error-state EKF for IMU odometry, pure-functional in JAX.
+
+TPU-native re-design of the reference ``ESEKF`` (``src/ptudes/ins/es_ekf.py``):
+the 18-dim error state  [dpos, dvel, datt, dbias_gyr, dbias_acc, dgrav]
+with block indices POS/VEL/PHI/BG/BA/G = 0,3,6,9,12,15
+(``src/ptudes/ins/es_ekf.py:65-71``), IMU mechanization predict, and 6-DoF
+pose update with attitude-covariance projection and error reset.
+
+Differences from the reference (all deliberate improvements):
+  * pure functions over a NamedTuple state -> works under jit / lax.scan /
+    vmap (multi-sequence replay);
+  * f32 with optional Joseph-form covariance update + symmetrization
+    instead of the reference's f64 + (I-KJ)P, which keeps the filter
+    stable in single precision on TPU;
+  * the error state is folded immediately at update time: the reference's
+    ``_nav_err`` is provably always zero at ``processPose`` entry (it is
+    reset at the end of every update and never touched in predict), so the
+    dead ``dpos``/``datt_v`` residual terms are omitted.
+
+Tuning constants are numerically identical to the reference
+(``src/ptudes/ins/es_ekf.py:101-119``, measurement defaults ``:289-292``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import GRAV
+from ..config import EkfConfig
+from ..geom import se3, so3
+
+STATE_RANK = 18
+POS, VEL, PHI, BG, BA, G = 0, 3, 6, 9, 12, 15
+
+DOWN = jnp.asarray([0.0, 0.0, -1.0])
+UP = jnp.asarray([0.0, 0.0, 1.0])
+
+
+class EkfState(NamedTuple):
+    pos: jax.Array        # [3]
+    vel: jax.Array        # [3]
+    quat: jax.Array       # [4] xyzw attitude (body->world)
+    bias_gyr: jax.Array   # [3]
+    bias_acc: jax.Array   # [3]
+    grav: jax.Array       # [3]
+    cov: jax.Array        # [18, 18]
+    imu_ts: jax.Array     # last processed IMU timestamp (s)
+    initialized: jax.Array  # bool: first IMU only latches the timestamp
+
+
+class Imu(NamedTuple):
+    """One IMU sample (SI units: m/s^2, rad/s, s) — reference
+    ``src/ptudes/ins/data.py:12-31``. Stack along a leading axis for
+    sequences."""
+    lacc: jax.Array
+    avel: jax.Array
+    ts: jax.Array
+
+
+def init_cov(cfg: EkfConfig) -> jnp.ndarray:
+    """Initial covariance, reproducing the reference's quirk of squaring the
+    rotvec of the (10, 10, 10) deg XYZ-Euler for the attitude block
+    (``src/ptudes/ins/es_ekf.py:104-107,126-137``)."""
+    rpy = jnp.full((3,), jnp.deg2rad(cfg.init_att_rpy_deg))
+    att_rotvec = so3.quat_to_rotvec(so3.quat_from_euler_xyz(rpy))
+    d = jnp.concatenate([
+        jnp.full((3,), cfg.init_pos_std**2),
+        jnp.full((3,), cfg.init_vel_std**2),
+        att_rotvec**2,
+        jnp.full((3,), cfg.init_bg_std**2),
+        jnp.full((3,), cfg.init_ba_std**2),
+        jnp.full((3,), cfg.init_grav_std**2),
+    ])
+    return jnp.diag(d).astype(jnp.float32)
+
+
+def init_state(
+    cfg: EkfConfig,
+    init_grav: jax.Array | None = None,
+    init_bacc: jax.Array | None = None,
+    init_bgyr: jax.Array | None = None,
+) -> EkfState:
+    z3 = jnp.zeros(3, jnp.float32)
+    return EkfState(
+        pos=z3,
+        vel=z3,
+        quat=jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        bias_gyr=z3 if init_bgyr is None else jnp.asarray(init_bgyr, jnp.float32),
+        bias_acc=z3 if init_bacc is None else jnp.asarray(init_bacc, jnp.float32),
+        grav=(GRAV * DOWN).astype(jnp.float32)
+        if init_grav is None else jnp.asarray(init_grav, jnp.float32),
+        cov=init_cov(cfg),
+        imu_ts=jnp.asarray(0.0, jnp.float32),
+        initialized=jnp.asarray(False),
+    )
+
+
+def pose_mat(s: EkfState) -> jax.Array:
+    """Current nav pose as 4x4 (reference ``NavState.pose_mat``)."""
+    return se3.make_pose(so3.quat_to_mat(s.quat), s.pos)
+
+
+def _set_blk(m: jax.Array, i: int, j: int, b: jax.Array) -> jax.Array:
+    return m.at[i:i + 3, j:j + 3].set(b)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_imu(s: EkfState, imu: Imu, *, cfg: EkfConfig) -> EkfState:
+    """EKF predict (reference ``processImu`` + ``_insMech``,
+    ``src/ptudes/ins/es_ekf.py:191-257``). The first sample only latches the
+    timestamp, like the reference's ``_imu_initialized`` gate."""
+    dt = imu.ts - s.imu_ts
+
+    r_prev = so3.quat_to_mat(s.quat)
+    acc_body = imu.lacc - s.bias_acc
+    avel_body = imu.avel - s.bias_gyr
+    dtheta = avel_body * dt
+    rot_dtheta = so3.exp_rotvec(dtheta)
+
+    # --- mechanization
+    lacc_g = r_prev @ acc_body
+    acc_total = lacc_g + s.grav
+    pos = s.pos + s.vel * dt + 0.5 * acc_total * dt * dt
+    vel = s.vel + acc_total * dt
+    quat = so3.quat_mul(s.quat, so3.mat_to_quat(rot_dtheta))
+
+    # --- error-state transition (Fx), blocks per reference :216-223
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    fx = jnp.eye(STATE_RANK, dtype=jnp.float32)
+    fx = _set_blk(fx, POS, VEL, dt * eye3)
+    fx = _set_blk(fx, VEL, PHI, -dt * (r_prev @ so3.hat(acc_body)))
+    fx = _set_blk(fx, VEL, BA, -dt * r_prev)
+    # gravity-error block intentionally disabled, as in the reference :219-221
+    fx = _set_blk(fx, PHI, PHI, rot_dtheta.T)
+    fx = _set_blk(fx, PHI, BG, -dt * eye3)
+
+    # --- process noise (reference :226-233)
+    w = jnp.zeros((STATE_RANK, STATE_RANK), jnp.float32)
+    w = _set_blk(w, VEL, VEL, (dt * cfg.acc_bias_std) ** 2 * eye3)
+    w = _set_blk(w, PHI, PHI, (dt * cfg.gyr_bias_std) ** 2 * eye3)
+    w = _set_blk(w, BA, BA, dt * cfg.acc_vrw**2 * eye3)
+    w = _set_blk(w, BG, BG, dt * cfg.gyr_arw**2 * eye3)
+
+    cov = fx @ s.cov @ fx.T + w
+    cov = 0.5 * (cov + cov.T)  # keep symmetric in f32
+
+    new = EkfState(
+        pos=pos, vel=vel, quat=quat,
+        bias_gyr=s.bias_gyr, bias_acc=s.bias_acc, grav=s.grav,
+        cov=cov, imu_ts=imu.ts, initialized=jnp.asarray(True),
+    )
+    # first IMU (or invalid) only latches ts
+    latch = s._replace(imu_ts=imu.ts, initialized=jnp.asarray(True))
+    return jax.tree.map(
+        lambda a, b: jnp.where(s.initialized, a, b), new, latch
+    )
+
+
+def default_meas_cov(cfg: EkfConfig) -> jnp.ndarray:
+    """blkdiag(pos 0.02^2, att 0.01^2) — reference ``:289-292``."""
+    return jnp.diag(
+        jnp.concatenate([
+            jnp.full((3,), cfg.meas_pos_std**2),
+            jnp.full((3,), cfg.meas_att_std**2),
+        ])
+    ).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_pose(
+    s: EkfState,
+    pose_meas: jax.Array,              # [4, 4]
+    *,
+    cfg: EkfConfig,
+    meas_cov: jax.Array | None = None,
+) -> EkfState:
+    """EKF update from a 6-DoF pose measurement (reference ``processPose``,
+    ``src/ptudes/ins/es_ekf.py:259-327``)."""
+    if meas_cov is None:
+        meas_cov = default_meas_cov(cfg)
+
+    r_k = so3.quat_to_mat(s.quat)
+
+    # residual: translation + log(Rk^-1 R_meas); the reference's dR/_nav_err
+    # terms are identically zero at this point (see module docstring)
+    resid = jnp.concatenate([
+        se3.trans(pose_meas) - s.pos,
+        so3.log_rotmat(r_k.T @ se3.rot(pose_meas)),
+    ])
+
+    jp = jnp.zeros((6, STATE_RANK), jnp.float32)
+    jp = jp.at[0:3, POS:POS + 3].set(jnp.eye(3))
+    jp = jp.at[3:6, PHI:PHI + 3].set(jnp.eye(3))
+
+    p = s.cov
+    smat = jp @ p @ jp.T + meas_cov
+    k = p @ jp.T @ jnp.linalg.inv(smat)
+    dx = k @ resid
+
+    ikj = jnp.eye(STATE_RANK, dtype=jnp.float32) - k @ jp
+    if cfg.joseph_form:
+        cov = ikj @ p @ ikj.T + k @ meas_cov @ k.T
+    else:
+        cov = ikj @ p
+    cov = 0.5 * (cov + cov.T)
+
+    dpos, dvel, dphi = dx[POS:POS + 3], dx[VEL:VEL + 3], dx[PHI:PHI + 3]
+    dbg, dba, dgrav = dx[BG:BG + 3], dx[BA:BA + 3], dx[G:G + 3]
+
+    # inject error into nominal state (reference :313-319)
+    quat = so3.quat_mul(s.quat, so3.rotvec_to_quat(dphi))
+
+    # attitude covariance projection G_theta P_phi G_theta^T (reference :322-324)
+    g_theta = jnp.eye(3) - so3.hat(0.5 * dphi)
+    phi_blk = cov[PHI:PHI + 3, PHI:PHI + 3]
+    cov = cov.at[PHI:PHI + 3, PHI:PHI + 3].set(g_theta @ phi_blk @ g_theta.T)
+
+    return EkfState(
+        pos=s.pos + dpos,
+        vel=s.vel + dvel,
+        quat=quat,
+        bias_gyr=s.bias_gyr + dbg,
+        bias_acc=s.bias_acc + dba,
+        grav=s.grav + dgrav,
+        cov=cov,
+        imu_ts=s.imu_ts,
+        initialized=s.initialized,
+    )
+
+
+def masked_update(old: EkfState, new: EkfState, apply: jax.Array) -> EkfState:
+    """Select ``new`` where ``apply`` else ``old`` (pytree where) — the tool
+    for padded IMU blocks and conditional pose corrections under lax.scan."""
+    return jax.tree.map(lambda a, b: jnp.where(apply, b, a), old, new)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_imu_batch(
+    s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig
+) -> EkfState:
+    """Run a padded block of IMU samples through predict under lax.scan
+    (the per-scan inner loop of the fused pipeline, SURVEY.md section 7.6)."""
+
+    def step(state, inp):
+        imu, ok = inp
+        nxt = process_imu(state, imu, cfg=cfg)
+        return masked_update(state, nxt, ok), None
+
+    out, _ = jax.lax.scan(step, s, (imus, valid))
+    return out

@@ -1,0 +1,193 @@
+"""KISS-ICP-style lidar odometry as a pure-functional JAX model.
+
+TPU-native re-design of the reference's ``KissICPWrapper`` + kiss-icp core
+(``src/ptudes/kiss.py:18-166``): the full per-scan pipeline
+
+    deskew -> range clip -> double voxelize -> adaptive sigma -> robust ICP
+    -> model-deviation update -> map insert + eviction
+
+runs as one jit-compiled function over a static-shape state, suitable for
+``lax.scan`` carries and ``vmap`` over multiple sequences.
+
+Algorithmic parity notes (vs reference src/ptudes/kiss.py:83-131):
+  * deskew uses the last relative motion and mid-scan anchor (kiss
+    constant-velocity compensator), applied before preprocessing;
+  * voxelize keeps the FIRST point per voxel at 0.5*voxel_size for the map
+    frame, then 1.5*voxel_size of that for the ICP source;
+  * adaptive threshold: sigma = initial until enough motion was observed,
+    then sqrt(sse/num); model error = |t| + 2*max_range*sin(theta/2);
+  * ICP: max_correspondence_distance = 3*sigma, kernel = sigma/3;
+  * map update inserts the 0.5*voxel frame at the NEW pose, then evicts
+    voxels farther than max_range from the pose origin.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Capacity, KissConfig
+from ..geom import se3, so3
+from ..ops import deskew as deskew_ops
+from ..ops import hashmap, icp, voxel
+
+
+class KissState(NamedTuple):
+    """Odometry carry. All arrays static-shape; lives in lax.scan carries."""
+    local_map: hashmap.VoxelHashMap
+    pose: jax.Array            # [4, 4] T_{k-1} (latest)
+    pose_prev: jax.Array       # [4, 4] T_{k-2}
+    model_sse: jax.Array       # adaptive threshold accumulator (sigma^2 * n)
+    num_samples: jax.Array     # int32
+    num_scans: jax.Array       # int32 processed scans
+
+
+class KissAux(NamedTuple):
+    """Per-scan diagnostics, mirroring the reference's innovation logging
+    (``src/ptudes/kiss.py:116-124``)."""
+    sigma: jax.Array
+    err_dt: jax.Array      # |trans(initial_guess^-1 @ new_pose)|
+    err_drot: jax.Array    # |log rot(...)|
+    num_corr: jax.Array
+    iterations: jax.Array
+    source_count: jax.Array
+    map_points: jax.Array
+
+
+def init_state(cfg: KissConfig, cap: Capacity) -> KissState:
+    return KissState(
+        local_map=hashmap.create(cap.map_capacity, cfg.max_points_per_voxel),
+        pose=jnp.eye(4, dtype=jnp.float32),
+        pose_prev=jnp.eye(4, dtype=jnp.float32),
+        model_sse=jnp.asarray(0.0, jnp.float32),
+        num_samples=jnp.asarray(0, jnp.int32),
+        num_scans=jnp.asarray(0, jnp.int32),
+    )
+
+
+def prediction_model(state: KissState) -> jax.Array:
+    """Constant-velocity prediction: inv(T_{k-2}) @ T_{k-1}
+    (kiss ``get_prediction_model``, reference ``src/ptudes/kiss.py:104``)."""
+    return se3.inv(state.pose_prev) @ state.pose
+
+
+def _model_error(dev: jax.Array, max_range: float) -> jax.Array:
+    """kiss AdaptiveThreshold::ComputeModelError."""
+    dt = jnp.linalg.norm(se3.trans(dev))
+    theta = jnp.linalg.norm(so3.log_rotmat(se3.rot(dev)))
+    return dt + 2.0 * max_range * jnp.sin(0.5 * theta)
+
+
+def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
+    """sigma: initial until motion statistics exist, then sqrt(sse/num)."""
+    return jnp.where(
+        state.num_samples < 1,
+        jnp.asarray(cfg.initial_threshold, jnp.float32),
+        jnp.sqrt(state.model_sse / jnp.maximum(state.num_samples, 1)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess"))
+def register_scan(
+    state: KissState,
+    pts: jax.Array,        # [N, 3] points in the sensor/nav frame
+    mask: jax.Array,       # [N] bool valid
+    ts01: jax.Array,       # [N] normalized column timestamps in [0, 1)
+    *,
+    cfg: KissConfig,
+    cap: Capacity,
+    initial_guess: jax.Array | None = None,
+    use_guess: bool = False,
+) -> tuple[KissState, jax.Array, KissAux]:
+    """Register one scan; returns (new_state, new_pose, diagnostics).
+
+    ``initial_guess`` (with ``use_guess=True``) overrides the const-velocity
+    prediction — the mechanism the reference uses for EKF-predicted and
+    GT-guess modes (``src/ptudes/cli/ekf_bench.py:533-548``).
+    """
+    vs = cfg.resolved_voxel_size
+
+    # 1. deskew (no-op until two poses exist: twist is zero then)
+    if cfg.deskew:
+        pts = deskew_ops.deskew_scan(
+            pts, ts01, state.pose_prev, state.pose,
+            enabled=state.num_scans >= 2,
+        )
+
+    # 2. preprocess: range clip by norm (kiss Preprocess)
+    mask = voxel.range_clip_mask(pts, mask, cfg.min_range, cfg.max_range)
+
+    # 3. double voxelize (first-point-per-voxel)
+    keep_frame = voxel.first_in_voxel_mask(pts, mask, vs * 0.5, cap.dedup_table)
+    frame_ds, frame_mask = voxel.compact(pts, keep_frame, cap.max_frame)
+    keep_src = voxel.first_in_voxel_mask(
+        pts, keep_frame, vs * 1.5, cap.dedup_table
+    )
+    source, source_mask = voxel.compact(pts, keep_src, cap.max_source)
+
+    # 4. adaptive threshold
+    sigma = get_adaptive_threshold(state, cfg)
+
+    # 5. initial guess
+    if use_guess:
+        assert initial_guess is not None
+        guess = initial_guess.astype(jnp.float32)
+    else:
+        guess = state.pose @ prediction_model(state)
+
+    # 6. robust ICP against the local map
+    res = icp.register_frame(
+        source, source_mask, state.local_map, guess,
+        3.0 * sigma, sigma / 3.0,
+        voxel_size=vs,
+        max_probes=cap.max_probes,
+        max_iterations=cfg.max_iterations,
+        convergence=cfg.convergence_criterion,
+    )
+    new_pose = res.pose
+
+    # 7. model deviation -> adaptive threshold statistics
+    dev = se3.inv(guess) @ new_pose
+    err = _model_error(dev, cfg.max_range)
+    accum = err > cfg.min_motion_th
+    model_sse = state.model_sse + jnp.where(accum, err * err, 0.0)
+    num_samples = state.num_samples + accum.astype(jnp.int32)
+
+    # 8. map update at the new pose + distance eviction
+    frame_w = se3.transform(new_pose, frame_ds)
+    local_map = hashmap.insert(
+        state.local_map, frame_w, frame_mask,
+        voxel_size=vs, max_probes=cap.max_probes,
+    )
+    local_map = hashmap.remove_far(
+        local_map, se3.trans(new_pose),
+        jnp.asarray(cfg.max_range**2, jnp.float32),
+    )
+
+    new_state = KissState(
+        local_map=local_map,
+        pose=new_pose,
+        pose_prev=state.pose,
+        model_sse=model_sse,
+        num_samples=num_samples,
+        num_scans=state.num_scans + 1,
+    )
+    aux = KissAux(
+        sigma=sigma,
+        err_dt=jnp.linalg.norm(se3.trans(dev)),
+        err_drot=jnp.linalg.norm(so3.log_rotmat(se3.rot(dev))),
+        num_corr=res.num_corr,
+        iterations=res.iterations,
+        source_count=jnp.sum(source_mask.astype(jnp.int32)),
+        map_points=hashmap.num_points(local_map),
+    )
+    return new_state, new_pose, aux
+
+
+def velocity(state: KissState, dt: jax.Array) -> jax.Array:
+    """Linear velocity estimate from the last two poses
+    (reference ``src/ptudes/kiss.py:133-140``)."""
+    pred = prediction_model(state)
+    return se3.trans(pred) / jnp.maximum(dt, 1e-9)

@@ -18,15 +18,13 @@ Layout: open addressing with linear probing over a power-of-two table.
     points [C, P, 3] f32 — stored points
     counts [C]    int32 — valid points in slot (0 for free/evicted)
 
-Concurrency-free claim protocol (insert): per probe round, unresolved points
-first arbitrate free slots by scatter-min of their batch index (winner takes
-the slot and writes its key), then everyone re-checks key equality — so
-same-voxel losers resolve to the winner's slot in the same round.
-
-Eviction resets slots to free, which can strand a later-probe duplicate of a
-re-inserted key ("zombie" entry: unreachable for both insert and query until
-itself evicted). This only wastes capacity — never returns wrong neighbors —
-and is bounded by load factor; documented trade-off vs. tombstone chains.
+Concurrency-free insert protocol: (A) every point first searches its FULL
+probe chain for an existing entry of its voxel key; (B) still-unresolved
+points then claim free slots round by round, arbitrated by scatter-min of
+the batch index — same-voxel losers match the winner's slot in the same
+round's post-claim check. Because lookup always precedes claiming and both
+insert and query scan the entire probe chain, eviction (slots reset to
+free) never creates duplicate or unreachable entries.
 """
 from __future__ import annotations
 
@@ -98,12 +96,21 @@ def insert(
     slot = jnp.full((n,), cap, jnp.int32)                    # cap = "dropped"
     resolved = ~mask
 
+    # phase A — lookup: search the FULL probe chain for an existing entry
+    # before any claiming, otherwise a free earlier-probe slot would shadow
+    # an existing later-probe entry and fragment the map into duplicates
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
-        slot_keys = keys[s]                                  # [N, 3]
-        free = jnp.all(slot_keys == SENTINEL_COORD, axis=-1)
+        match = (~resolved) & jnp.all(keys[s] == coords, axis=-1)
+        slot = jnp.where(match, s, slot)
+        resolved = resolved | match
 
-        # claim phase: unresolved points race for free slots
+    # phase B — claim rounds: unresolved keys race for free slots by
+    # scatter-min of batch index; same-key losers match the winner's slot
+    # in the post-claim check of the same round
+    for r in range(max_probes):
+        s = (h0 + r) & (cap - 1)
+        free = jnp.all(keys[s] == SENTINEL_COORD, axis=-1)
         want = (~resolved) & free
         claim = jnp.full((cap,), _INT_MAX, jnp.int32)
         claim = claim.at[s].min(jnp.where(want, idx, _INT_MAX), mode="drop")
@@ -111,8 +118,6 @@ def insert(
         keys = keys.at[jnp.where(won, s, cap)].set(
             jnp.where(won[:, None], coords, SENTINEL_COORD), mode="drop"
         )
-
-        # match phase: key equality (winners' keys now visible)
         match = (~resolved) & jnp.all(keys[s] == coords, axis=-1)
         slot = jnp.where(match, s, slot)
         resolved = resolved | match
