@@ -51,7 +51,7 @@ class Capacity:
     max_frame: int = 32768        # downsampled frame (map insert) capacity
     max_source: int = 8192        # ICP source capacity
     map_capacity: int = 1 << 19   # voxel hash slots (power of two)
-    max_probes: int = 8           # open-addressing probe length
+    max_probes: int = 4           # open-addressing probe length (keep load factor low)
     dedup_table: int = 1 << 20    # scratch table for voxel downsample
 
 

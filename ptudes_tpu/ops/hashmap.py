@@ -12,19 +12,32 @@ all with static shapes, pure-functional updates, and only scatter/gather
 primitives, so the whole structure lives in the ``lax.scan`` carry of the
 odometry loop (SURVEY.md section 7, stage 4).
 
-Layout: open addressing with linear probing over a power-of-two table.
+Layout — designed around TPU gather cost (bytes touched per query point):
 
-    keys   [C, 3] int32 — voxel coordinate (SENTINEL_COORD when free)
-    points [C, P, 3] f32 — stored points
-    counts [C]    int32 — valid points in slot (0 for free/evicted)
+    fps    [C]       int32 — 32-bit key fingerprint (0 = free slot)
+    counts [C]       int32 — valid points in slot
+    reps   [C, 3]    f32   — representative (first) point of the voxel
+    points [C, P, 3] f32   — stored points
 
-Concurrency-free insert protocol: (A) every point first searches its FULL
-probe chain for an existing entry of its voxel key; (B) still-unresolved
-points then claim free slots round by round, arbitrated by scatter-min of
-the batch index — same-voxel losers match the winner's slot in the same
-round's post-claim check. Because lookup always precedes claiming and both
-insert and query scan the entire probe chain, eviction (slots reset to
-free) never creates duplicate or unreachable entries.
+A query probes fingerprints (4 B/slot), ranks the 27 neighbor voxels by
+representative-point distance (12 B/voxel), and gathers the full point list
+only for the best voxel (``approx=True``, the default — the NN can differ
+from exact when the nearest point hides in a voxel whose representative is
+not the closest; sub-voxel-size error, irrelevant for robust ICP) or for
+all found voxels (``approx=False``, exact, used by tests). Fingerprint
+aliasing (two voxel keys, same 32-bit fingerprint AND same slot) has
+probability ~2^-32 per probe and at worst injects one wrong NN candidate.
+
+Insert protocol: (A) every point first searches its FULL probe chain for an
+existing entry; (B) still-unresolved points claim free slots round by
+round, arbitrated by scatter-min of batch index — same-voxel losers match
+the winner's slot in the same round's post-claim check. Because lookup
+precedes claiming and both insert and query scan the whole chain, eviction
+(slots reset free) never creates duplicate or unreachable entries.
+
+Keep the load factor low (capacity >= ~8x expected voxels) so short probe
+chains (default 4) cover effectively all collisions; a key that cannot be
+resolved within the chain is dropped (insert) or reported not-found (query).
 """
 from __future__ import annotations
 
@@ -35,12 +48,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .voxel import spatial_hash, voxel_coords
+from .voxel import voxel_coords
 
-SENTINEL_COORD = jnp.int32(-(2**31) + 1)
 _INT_MAX = jnp.int32(2**31 - 1)
 
-# 27-neighborhood offsets (static), center voxel first so ties prefer it
+# 27-neighborhood offsets (static), center voxel first
 _NEIGHBOR_OFFSETS = np.array(
     sorted(
         [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
@@ -51,22 +63,51 @@ _NEIGHBOR_OFFSETS = np.array(
 
 
 class VoxelHashMap(NamedTuple):
-    keys: jax.Array    # [C, 3] int32
-    points: jax.Array  # [C, P, 3] f32
+    fps: jax.Array     # [C] int32, 0 = free
     counts: jax.Array  # [C] int32
+    reps: jax.Array    # [C, 3] f32
+    points: jax.Array  # [C, P, 3] f32
+
+
+def _mix(h: jax.Array) -> jax.Array:
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+def _fingerprint_and_slot(
+    coords: jax.Array, capacity: int
+) -> tuple[jax.Array, jax.Array]:
+    """64 bits of mixed hash per voxel coord: high 32 -> fingerprint
+    (never 0), low bits -> home slot."""
+    c = coords.astype(jnp.uint32)
+    h1 = _mix(c[..., 0] * jnp.uint32(73856093)) \
+        ^ (_mix(c[..., 1] * jnp.uint32(19349669)) * jnp.uint32(0x9E3779B9)) \
+        ^ (_mix(c[..., 2] * jnp.uint32(83492791)) * jnp.uint32(0x517CC1B7))
+    slot = (_mix(h1) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    fp = _mix(h1 ^ jnp.uint32(0xDEADBEEF))
+    fp = jnp.where(fp == 0, jnp.uint32(1), fp).astype(jnp.int32)
+    return fp, slot
 
 
 def create(capacity: int, max_points_per_voxel: int) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelHashMap(
-        keys=jnp.full((capacity, 3), SENTINEL_COORD, jnp.int32),
-        points=jnp.zeros((capacity, max_points_per_voxel, 3), jnp.float32),
+        fps=jnp.zeros((capacity,), jnp.int32),
         counts=jnp.zeros((capacity,), jnp.int32),
+        reps=jnp.zeros((capacity, 3), jnp.float32),
+        points=jnp.zeros((capacity, max_points_per_voxel, 3), jnp.float32),
     )
 
 
 def num_points(m: VoxelHashMap) -> jax.Array:
     return jnp.sum(m.counts)
+
+
+def num_voxels(m: VoxelHashMap) -> jax.Array:
+    return jnp.sum((m.counts > 0).astype(jnp.int32))
 
 
 def is_empty(m: VoxelHashMap) -> jax.Array:
@@ -80,50 +121,45 @@ def insert(
     mask: jax.Array,         # [N] bool
     *,
     voxel_size: float,
-    max_probes: int = 8,
+    max_probes: int = 4,
 ) -> VoxelHashMap:
     """Insert masked points (kiss ``VoxelHashMap::AddPoints`` semantics:
     append until the voxel holds ``max_points_per_voxel`` points)."""
-    cap = m.keys.shape[0]
+    cap = m.fps.shape[0]
     ppv = m.points.shape[1]
     n = pts.shape[0]
 
-    coords = voxel_coords(pts, voxel_size)                   # [N, 3]
-    h0 = spatial_hash(coords, cap)                           # [N]
+    coords = voxel_coords(pts, voxel_size)
+    fp, h0 = _fingerprint_and_slot(coords, cap)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    keys = m.keys
+    fps = m.fps
     slot = jnp.full((n,), cap, jnp.int32)                    # cap = "dropped"
     resolved = ~mask
 
-    # phase A — lookup: search the FULL probe chain for an existing entry
-    # before any claiming, otherwise a free earlier-probe slot would shadow
-    # an existing later-probe entry and fragment the map into duplicates
+    # phase A — lookup over the full probe chain
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
-        match = (~resolved) & jnp.all(keys[s] == coords, axis=-1)
+        match = (~resolved) & (fps[s] == fp)
         slot = jnp.where(match, s, slot)
         resolved = resolved | match
 
-    # phase B — claim rounds: unresolved keys race for free slots by
-    # scatter-min of batch index; same-key losers match the winner's slot
-    # in the post-claim check of the same round
+    # phase B — claim rounds
+    is_new = jnp.zeros((n,), bool)
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
-        free = jnp.all(keys[s] == SENTINEL_COORD, axis=-1)
+        free = fps[s] == 0
         want = (~resolved) & free
         claim = jnp.full((cap,), _INT_MAX, jnp.int32)
         claim = claim.at[s].min(jnp.where(want, idx, _INT_MAX), mode="drop")
         won = want & (claim[s] == idx)
-        keys = keys.at[jnp.where(won, s, cap)].set(
-            jnp.where(won[:, None], coords, SENTINEL_COORD), mode="drop"
-        )
-        match = (~resolved) & jnp.all(keys[s] == coords, axis=-1)
+        fps = fps.at[jnp.where(won, s, cap)].set(fp, mode="drop")
+        match = (~resolved) & (fps[s] == fp)
         slot = jnp.where(match, s, slot)
+        is_new = is_new | won
         resolved = resolved | match
 
-    # rank of each point within its slot (stable order by batch index):
-    # sort by slot, positions within equal-slot runs
+    # rank within slot (stable by batch index) via sort + run position
     order = jnp.argsort(slot, stable=True)
     slot_sorted = slot[order]
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -133,8 +169,7 @@ def insert(
         0,
     )
     run_start = jax.lax.associative_scan(jnp.maximum, run_start)
-    rank_sorted = pos - run_start
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(pos - run_start)
 
     base = m.counts.at[slot].get(mode="fill", fill_value=0)
     write_pos = base + rank
@@ -144,78 +179,119 @@ def insert(
     points = m.points.at[tgt_slot, jnp.where(accept, write_pos, 0)].set(
         pts, mode="drop"
     )
-    counts = m.counts.at[tgt_slot].add(
-        accept.astype(jnp.int32), mode="drop"
-    )
-    return VoxelHashMap(keys=keys, points=points, counts=counts)
+    counts = m.counts.at[tgt_slot].add(accept.astype(jnp.int32), mode="drop")
+    # representative = first point stored in the slot
+    rep_tgt = jnp.where(accept & (write_pos == 0), slot, cap)
+    reps = m.reps.at[rep_tgt].set(pts, mode="drop")
+    return VoxelHashMap(fps=fps, counts=counts, reps=reps, points=points)
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "max_probes"))
+@partial(
+    jax.jit, static_argnames=("voxel_size", "max_probes", "approx")
+)
 def query(
     m: VoxelHashMap,
     q: jax.Array,            # [M, 3]
     *,
     voxel_size: float,
-    max_probes: int = 8,
+    max_probes: int = 4,
+    approx: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Nearest stored neighbor of each query point over 27 adjacent voxels
     (kiss-icp ``GetClosestNeighbor`` semantics).
 
     Returns (nn [M, 3], dist2 [M], found [M]).
     """
-    cap = m.keys.shape[0]
+    cap = m.fps.shape[0]
     ppv = m.points.shape[1]
     mnum = q.shape[0]
 
-    qc = voxel_coords(q, voxel_size)                         # [M, 3]
-    offsets = jnp.asarray(_NEIGHBOR_OFFSETS)                 # [27, 3]
+    qc = voxel_coords(q, voxel_size)                          # [M, 3]
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS)                  # [27, 3]
+    keys27 = qc[:, None, :] + offsets[None, :, :]             # [M, 27, 3]
+    fp, h0 = _fingerprint_and_slot(keys27, cap)               # [M, 27]
 
+    found_slot = jnp.full((mnum, 27), cap, jnp.int32)
+    found = jnp.zeros((mnum, 27), bool)
+    for r in range(max_probes):
+        s = (h0 + r) & (cap - 1)
+        match = (m.fps[s] == fp) & ~found
+        found_slot = jnp.where(match, s, found_slot)
+        found = found | match
+
+    # stage 1: rank neighbor voxels by representative-point distance
+    reps = m.reps.at[found_slot].get(mode="fill", fill_value=jnp.inf)
+    rep_d2 = jnp.sum((reps - q[:, None, :]) ** 2, axis=-1)    # [M, 27]
+    rep_d2 = jnp.where(found, rep_d2, jnp.inf)
+
+    if approx:
+        # stage 2 over two candidate voxels: the rep-nearest one and the
+        # query's own (center) voxel — the latter guarantees exact self-
+        # matches (offsets[0] is the center voxel)
+        best_j = jnp.argmin(rep_d2, axis=-1)                  # [M]
+        best_slot = jnp.take_along_axis(found_slot, best_j[:, None], 1)[:, 0]
+        best_ok = jnp.isfinite(
+            jnp.take_along_axis(rep_d2, best_j[:, None], 1)[:, 0])
+        center_slot = found_slot[:, 0]
+        center_ok = found[:, 0]
+
+        best_d2 = jnp.full((mnum,), jnp.inf, jnp.float32)
+        best_nn = jnp.zeros((mnum, 3), jnp.float32)
+        for sl, ok in ((best_slot, best_ok), (center_slot, center_ok)):
+            vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
+            cnt = m.counts.at[sl].get(mode="fill", fill_value=0)
+            d2 = jnp.sum((vox_pts - q[:, None, :]) ** 2, axis=-1)
+            valid = (jnp.arange(ppv, dtype=jnp.int32)[None, :]
+                     < cnt[:, None]) & ok[:, None]
+            d2 = jnp.where(valid, d2, jnp.inf)
+            k = jnp.argmin(d2, axis=-1)
+            dmin = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
+            better = dmin < best_d2
+            best_nn = jnp.where(
+                better[:, None],
+                jnp.take_along_axis(vox_pts, k[:, None, None], 1)[:, 0],
+                best_nn,
+            )
+            best_d2 = jnp.where(better, dmin, best_d2)
+        ok = jnp.isfinite(best_d2)
+        return jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok
+
+    # exact: running min over all 27 neighbors' full point lists
     best_d2 = jnp.full((mnum,), jnp.inf, jnp.float32)
     best_nn = jnp.zeros((mnum, 3), jnp.float32)
-
-    # per-neighbor running min keeps the working set small
-    for j in range(offsets.shape[0]):
-        key = qc + offsets[j]                                # [M, 3]
-        h0 = spatial_hash(key, cap)
-        found_slot = jnp.full((mnum,), cap, jnp.int32)
-        found = jnp.zeros((mnum,), bool)
-        for r in range(max_probes):
-            s = (h0 + r) & (cap - 1)
-            match = jnp.all(m.keys[s] == key, axis=-1) & ~found
-            found_slot = jnp.where(match, s, found_slot)
-            found = found | match
-
-        cnt = m.counts.at[found_slot].get(mode="fill", fill_value=0)
-        vox_pts = m.points.at[found_slot].get(
-            mode="fill", fill_value=0.0
-        )                                                    # [M, P, 3]
-        d2 = jnp.sum((vox_pts - q[:, None, :]) ** 2, axis=-1)  # [M, P]
-        valid = jnp.arange(ppv, dtype=jnp.int32)[None, :] < cnt[:, None]
+    for j in range(27):
+        sl = found_slot[:, j]
+        vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
+        cnt = m.counts.at[sl].get(mode="fill", fill_value=0)
+        d2 = jnp.sum((vox_pts - q[:, None, :]) ** 2, axis=-1)
+        valid = (jnp.arange(ppv, dtype=jnp.int32)[None, :] < cnt[:, None]) \
+            & found[:, j:j + 1]
         d2 = jnp.where(valid, d2, jnp.inf)
         k = jnp.argmin(d2, axis=-1)
-        dmin = jnp.take_along_axis(d2, k[:, None], axis=-1)[:, 0]
+        dmin = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
         better = dmin < best_d2
         best_nn = jnp.where(
             better[:, None],
-            jnp.take_along_axis(vox_pts, k[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(vox_pts, k[:, None, None], 1)[:, 0],
             best_nn,
         )
         best_d2 = jnp.where(better, dmin, best_d2)
+    ok = jnp.isfinite(best_d2)
+    return jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok
 
-    return best_nn, best_d2, jnp.isfinite(best_d2)
 
-
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def remove_far(
     m: VoxelHashMap, origin: jax.Array, max_range2: jax.Array
 ) -> VoxelHashMap:
-    """Evict voxels whose first stored point is farther than sqrt(max_range2)
-    from origin (kiss ``RemovePointsFarFromLocation`` uses the voxel's first
-    point)."""
+    """Evict voxels whose representative (first) point is farther than
+    sqrt(max_range2) from origin (kiss ``RemovePointsFarFromLocation``)."""
     occupied = m.counts > 0
-    first_pt = m.points[:, 0, :]
-    d2 = jnp.sum((first_pt - origin[None, :]) ** 2, axis=-1)
+    d2 = jnp.sum((m.reps - origin[None, :]) ** 2, axis=-1)
     evict = occupied & (d2 > max_range2)
-    keys = jnp.where(evict[:, None], SENTINEL_COORD, m.keys)
-    counts = jnp.where(evict, 0, m.counts)
-    return VoxelHashMap(keys=keys, points=m.points, counts=counts)
+    return VoxelHashMap(
+        fps=jnp.where(evict, 0, m.fps),
+        counts=jnp.where(evict, 0, m.counts),
+        reps=m.reps,
+        points=m.points,
+    )

@@ -59,7 +59,7 @@ def _build_system(
 
 @partial(
     jax.jit,
-    static_argnames=("voxel_size", "max_probes", "max_iterations"),
+    static_argnames=("voxel_size", "max_probes", "max_iterations", "approx"),
 )
 def register_frame(
     source: jax.Array,        # [N, 3] deskewed, voxelized source points
@@ -70,9 +70,10 @@ def register_frame(
     kernel: jax.Array,         # scalar: sigma / 3
     *,
     voxel_size: float,
-    max_probes: int = 8,
+    max_probes: int = 4,
     max_iterations: int = 50,
     convergence: float = 1e-4,
+    approx: bool = True,
 ) -> IcpResult:
     """Run fixed-iteration robust GN ICP; returns the refined world pose."""
     max_d2 = max_distance * max_distance
@@ -82,7 +83,8 @@ def register_frame(
 
         pts_w = se3.transform(t_cur, source)
         nn, d2, found = hashmap.query(
-            vmap_, pts_w, voxel_size=voxel_size, max_probes=max_probes
+            vmap_, pts_w, voxel_size=voxel_size, max_probes=max_probes,
+            approx=approx,
         )
         corr = source_mask & found & (d2 <= max_d2)
         w = jnp.where(

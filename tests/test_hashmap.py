@@ -43,9 +43,13 @@ def test_max_points_per_voxel():
     pts = (RNG.uniform(0.1, 0.9, size=(20, 3))).astype(np.float32)
     m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(20, bool), voxel_size=VS)
     assert int(hashmap.num_points(m)) == PPV
+    assert int(hashmap.num_voxels(m)) == 1
     # first PPV points in batch order are the ones kept
     stored = np.asarray(m.points)[np.asarray(m.counts) > 0][0]
     assert np.allclose(sorted(stored.tolist()), sorted(pts[:PPV].tolist()))
+    # representative = first point of the batch
+    rep = np.asarray(m.reps)[np.asarray(m.counts) > 0][0]
+    assert np.allclose(rep, pts[0])
 
 
 def test_incremental_insert_same_voxel():
@@ -64,17 +68,25 @@ def test_query_exact_nn_within_neighborhood():
     pts = RNG.uniform(-15, 15, size=(2000, 3)).astype(np.float32)
     m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VS)
     q = (pts[:300] + RNG.normal(scale=0.2, size=(300, 3))).astype(np.float32)
-    nn, d2, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    nn, d2, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS,
+                                  approx=False)
     nn, d2, found = np.asarray(nn), np.asarray(d2), np.asarray(found)
     assert found.all()
     bn, bd = brute_nn(pts, q)
-    # query is exact whenever the true NN lies in the 27-neighborhood
+    # exact query matches bruteforce whenever the true NN lies in the
+    # 27-neighborhood
     same_nbhd = np.all(
         np.abs(np.floor(bn / VS) - np.floor(q / VS)) <= 1, axis=-1
     )
     assert same_nbhd.mean() > 0.95
     agree = np.isclose(np.sqrt(d2[same_nbhd]), bd[same_nbhd], atol=1e-5)
     assert agree.all()
+    # approximate (rep-ranked) query: errors bounded by the voxel diagonal
+    nn_a, d2_a, found_a = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    assert np.asarray(found_a).all()
+    gap = np.sqrt(np.asarray(d2_a)) - np.sqrt(d2)
+    assert (gap >= -1e-5).all()  # approx can never beat exact
+    assert np.quantile(gap, 0.95) < VS  # and is rarely much worse
 
 
 def test_query_not_found_far_away():
@@ -101,6 +113,8 @@ def test_remove_far_evicts():
         np.arange(PPV)[None, :] < np.asarray(m.counts)[:, None]
     ).reshape(-1)
     assert (np.linalg.norm(stored[cnt_mask], axis=-1) < 50).all()
+    # evicted slots are reusable
+    assert int(hashmap.num_voxels(m)) == int((np.asarray(m.fps) != 0).sum())
 
 
 def test_reinsert_after_eviction():
@@ -116,15 +130,23 @@ def test_reinsert_after_eviction():
     assert np.allclose(np.asarray(d2), 0.0, atol=1e-6)
 
 
-def test_high_load_insert_still_resolves():
-    """At ~50% load factor, linear probing with 8 probes should keep drops rare."""
-    m = hashmap.create(1 << 12, 4)  # 4096 slots
-    # ~2000 distinct voxels
+def test_load_factor_contract():
+    """Design contract: at the intended <=25% load factor, default probe
+    depth resolves effectively all keys; higher load needs deeper probes."""
     pts = (RNG.permutation(40**3)[:2000]).astype(np.int64)
     coords = np.stack(np.unravel_index(pts, (40, 40, 40)), -1).astype(np.float32)
     coords = coords + 0.5
+
+    m = hashmap.create(1 << 13, 4)  # 8192 slots, 24% load
     m = hashmap.insert(
         m, jnp.asarray(coords), jnp.ones(len(coords), bool), voxel_size=VS
     )
-    stored = int(hashmap.num_points(m))
-    assert stored >= 0.99 * len(coords)
+    assert int(hashmap.num_points(m)) >= 0.99 * len(coords)
+
+    # 50% load still works with a deeper probe chain
+    m2 = hashmap.create(1 << 12, 4)
+    m2 = hashmap.insert(
+        m2, jnp.asarray(coords), jnp.ones(len(coords), bool),
+        voxel_size=VS, max_probes=16,
+    )
+    assert int(hashmap.num_points(m2)) >= 0.99 * len(coords)

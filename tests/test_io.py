@@ -1,0 +1,262 @@
+"""IO tests: packet codecs, pcap round-trip, ROS bag round-trip, metadata,
+pose formats — all against synthesized fixtures."""
+import json
+
+import numpy as np
+import pytest
+
+from ptudes_tpu import GRAV
+from ptudes_tpu.io import metadata as meta_io
+from ptudes_tpu.io import packets as pkt
+from ptudes_tpu.io import pcap as pcap_io
+from ptudes_tpu.io import poses as poses_io
+from ptudes_tpu.io import rosbag as bag_io
+from ptudes_tpu.io import sources
+
+RNG = np.random.default_rng(21)
+
+
+def make_info(h=32, w=64, profile=meta_io.PROFILE_LEGACY):
+    return meta_io.SensorInfo(
+        prod_line="OS-0-32",
+        mode=f"{w}x10",
+        columns_per_frame=w,
+        pixels_per_column=h,
+        columns_per_packet=16,
+        pixel_shift_by_row=[0] * h,
+        udp_profile_lidar=profile,
+        beam_altitude_angles=np.linspace(20, -20, h),
+        beam_azimuth_angles=np.zeros(h),
+        lidar_origin_to_beam_origin_mm=15.806,
+        lidar_to_sensor_transform=np.eye(4),
+        imu_to_sensor_transform=np.eye(4),
+        extrinsic=np.eye(4),
+    )
+
+
+def synth_frames(info, n_frames=3, t0_ns=10**9):
+    """Synthesize legacy packets for n_frames full frames."""
+    h, w, cpp = info.h, info.w, info.columns_per_packet
+    payloads = []
+    truth = np.zeros((n_frames, h, w), np.uint32)
+    for fi in range(n_frames):
+        for c0 in range(0, w, cpp):
+            mids = np.arange(c0, c0 + cpp)
+            ts = t0_ns + fi * 10**8 + mids * 10**5
+            rng_mm = RNG.integers(0, 60000, (cpp, h)).astype(np.uint32)
+            truth[fi, :, mids] = rng_mm
+            payloads.append(
+                (ts[0] * 1e-9,
+                 pkt.make_legacy_packet(info, ts, mids, 1000 + fi, rng_mm)))
+    return payloads, truth
+
+
+class TestPackets:
+    def test_imu_roundtrip(self):
+        accel = np.array([0.01, -0.02, 1.001])
+        avel = np.array([0.5, -0.3, 0.1])
+        buf = pkt.make_imu_packet(123456789, accel, avel)
+        assert len(buf) == pkt.IMU_PACKET_SIZE
+        out = pkt.parse_imu_packets(np.frombuffer(buf, np.uint8)[None])
+        assert out["sys_ts"][0] == 123456789
+        assert np.allclose(out["accel_g"][0], accel, atol=1e-6)
+        assert np.allclose(out["avel_deg"][0], avel, atol=1e-6)
+
+    def test_legacy_lidar_roundtrip(self):
+        info = make_info()
+        mids = np.arange(16)
+        ts = np.arange(16, dtype=np.uint64) + 5
+        rng_mm = RNG.integers(0, 2**19, (16, info.h)).astype(np.uint32)
+        buf = pkt.make_legacy_packet(info, ts, mids, 42, rng_mm)
+        assert len(buf) == pkt.lidar_packet_size(info)
+        cols = pkt.parse_lidar_packets(
+            info, np.frombuffer(buf, np.uint8)[None])
+        assert np.array_equal(cols.range_mm, rng_mm)
+        assert np.array_equal(cols.measurement_id, mids)
+        assert (cols.frame_id == 42).all()
+        assert cols.status.all()
+
+    def test_invalid_column_status(self):
+        info = make_info()
+        valid = np.zeros(16, bool)
+        valid[::2] = True
+        buf = pkt.make_legacy_packet(
+            info, np.arange(16, dtype=np.uint64), np.arange(16), 7,
+            np.zeros((16, info.h), np.uint32), valid=valid)
+        cols = pkt.parse_lidar_packets(info, np.frombuffer(buf, np.uint8)[None])
+        assert np.array_equal(cols.status, valid)
+
+
+class TestScanAssembly:
+    def test_assemble_full_frames(self):
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=3)
+        arr = np.stack([np.frombuffer(p, np.uint8) for _, p in payloads])
+        cols = pkt.parse_lidar_packets(info, arr)
+        scans = sources.assemble_scans(info, cols)
+        assert len(scans) == 3
+        assert np.array_equal(scans.range_mm, truth)
+        assert scans.valid_cols.all()
+        assert (np.diff(scans.ts) > 0).all()
+
+    def test_partial_last_frame_kept(self):
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        payloads = payloads[:-2]  # drop last 2 packets of frame 1
+        arr = np.stack([np.frombuffer(p, np.uint8) for _, p in payloads])
+        scans = sources.assemble_scans(
+            info, pkt.parse_lidar_packets(info, arr))
+        assert len(scans) == 2
+        assert scans.valid_cols[0].all()
+        assert scans.valid_cols[1].sum() == info.w - 32
+
+
+class TestPcap:
+    def test_pcap_roundtrip_with_imu(self, tmp_path):
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        pkts = list(payloads)
+        for i in range(20):
+            pkts.append(
+                (1.0 + i * 0.01,
+                 pkt.make_imu_packet(int(1e9 + i * 1e7),
+                                     [0.0, 0.0, 1.0], [1.0, 2.0, 3.0])))
+        path = str(tmp_path / "test.pcap")
+        pcap_io.write_pcap_udp(path, pkts)
+        scans, imu = sources.read_ouster_pcap(path, info)
+        assert len(scans) == 2
+        assert np.array_equal(scans.range_mm, truth)
+        assert len(imu) == 20
+        assert np.allclose(imu.lacc[0], [0, 0, GRAV], atol=1e-6)
+        assert np.allclose(imu.avel[0], np.deg2rad([1, 2, 3]), atol=1e-7)
+
+
+class TestRosbag:
+    def test_bag_roundtrip_packets(self, tmp_path):
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        msgs = []
+        for ts, p in payloads:
+            raw = np.uint32(len(p)).tobytes() + p
+            msgs.append(("/os_node/lidar_packets", "ouster_ros/msg/PacketMsg",
+                         bag_io.OUSTER_PACKETMSG_MD5, int(ts * 1e9), raw))
+        imu_buf = pkt.make_imu_packet(int(2e9), [0, 0, 1.0], [0, 0, 10.0])
+        msgs.append(("/os_node/imu_packets", "ouster_ros/msg/PacketMsg",
+                     bag_io.OUSTER_PACKETMSG_MD5, int(2e9),
+                     np.uint32(len(imu_buf)).tobytes() + imu_buf))
+        path = str(tmp_path / "test.bag")
+        bag_io.write_simple_bag(path, msgs)
+
+        scans, imu = sources.read_ouster_bag(path, info)
+        assert len(scans) == 2
+        assert np.array_equal(scans.range_mm, truth)
+        assert len(imu) == 1
+
+    def test_imu_bag_source_sensor_msgs(self, tmp_path):
+        msgs = []
+        for i in range(10):
+            raw = bag_io.serialize_imu_msg(
+                100.0 + i * 0.01, [0.1, 0.2, 9.8], [0.01, 0.02, 0.03])
+            msgs.append(("/alphasense/imu", "sensor_msgs/msg/Imu", "",
+                         int((100.0 + i * 0.01) * 1e9), raw))
+        path = str(tmp_path / "imu.bag")
+        bag_io.write_simple_bag(path, msgs)
+        imu = sources.read_imu_bag(path)
+        assert len(imu) == 10
+        assert np.allclose(imu.lacc[0], [0.1, 0.2, 9.8])
+        assert np.allclose(imu.avel[0], [0.01, 0.02, 0.03])
+        assert np.isclose(imu.ts[0], 100.0)
+
+    def test_imu_msg_codec(self):
+        raw = bag_io.serialize_imu_msg(42.5, [1, 2, 3], [4, 5, 6], "frame")
+        t, la, av = bag_io.parse_imu_msg(raw)
+        assert np.isclose(t, 42.5)
+        assert la == (1.0, 2.0, 3.0)
+        assert av == (4.0, 5.0, 6.0)
+
+
+class TestMetadata:
+    def test_legacy_flat_format_with_backfill(self):
+        js = {
+            "prod_line": "OS-1-64",
+            "beam_altitude_angles": list(np.linspace(16, -16, 64)),
+            "beam_azimuth_angles": [3.164] * 64,
+            "lidar_origin_to_beam_origin_mm": 15.806,
+            "imu_to_sensor_transform":
+                [1, 0, 0, 6.253, 0, 1, 0, -11.775, 0, 0, 1, 7.645, 0, 0, 0, 1],
+            "lidar_to_sensor_transform":
+                [-1, 0, 0, 0, 0, -1, 0, 0, 0, 0, 1, 36.18, 0, 0, 0, 1],
+        }
+        with pytest.warns(UserWarning):
+            info = meta_io.parse_metadata(json.dumps(js))
+        assert info.mode == "1024x10"  # reference backfill behavior
+        assert info.w == 1024 and info.h == 64
+        assert info.udp_profile_lidar == meta_io.PROFILE_LEGACY
+        assert np.isclose(info.lidar_to_sensor_transform[2, 3], 36.18)
+
+    def test_nested_format(self):
+        js = {
+            "sensor_info": {"prod_line": "OS-0-128"},
+            "beam_intrinsics": {
+                "beam_altitude_angles": list(np.linspace(45, -45, 128)),
+                "beam_azimuth_angles": [0.0] * 128,
+                "lidar_origin_to_beam_origin_mm": 27.67,
+            },
+            "lidar_intrinsics": {"lidar_to_sensor_transform":
+                                 list(np.eye(4).ravel())},
+            "imu_intrinsics": {"imu_to_sensor_transform":
+                               list(np.eye(4).ravel())},
+            "config_params": {"lidar_mode": "1024x10",
+                              "udp_profile_lidar":
+                                  "RNG19_RFL8_SIG16_NIR16"},
+            "lidar_data_format": {
+                "columns_per_frame": 1024,
+                "columns_per_packet": 16,
+                "pixel_shift_by_row": [0] * 128,
+            },
+        }
+        info = meta_io.parse_metadata(json.dumps(js))
+        assert info.h == 128 and info.w == 1024
+        assert info.udp_profile_lidar == meta_io.PROFILE_RNG19
+        assert info.prod_line == "OS-0-128"
+
+    def test_rng15_range_unit(self):
+        info = make_info(profile=meta_io.PROFILE_RNG15)
+        assert info.range_unit_m() == 0.008
+
+
+class TestPoses:
+    def test_kitti_roundtrip(self, tmp_path):
+        from scipy.spatial.transform import Rotation as R
+        poses = np.tile(np.eye(4), (5, 1, 1))
+        poses[:, :3, :3] = R.random(5, random_state=1).as_matrix()
+        poses[:, :3, 3] = RNG.normal(size=(5, 3))
+        path = str(tmp_path / "kitti.txt")
+        poses_io.save_poses_kitti_format(path, poses, header="test")
+        back = poses_io.load_poses_kitti_format(path)
+        assert np.allclose(back, poses, atol=1e-12)
+
+    def test_nc_gt_roundtrip_invariant(self, tmp_path):
+        """save (imu->base) then read (base->imu) is identity — the
+        round-trip invariant the reference documents (utils.py:207-211)."""
+        from scipy.spatial.transform import Rotation as R
+        poses = np.tile(np.eye(4), (4, 1, 1))
+        poses[:, :3, :3] = R.random(4, random_state=2).as_matrix()
+        poses[:, :3, 3] = RNG.normal(size=(4, 3)) * 10
+        t = 1000.0 + np.arange(4) * 0.1
+        path = str(tmp_path / "nc.csv")
+        poses_io.save_poses_nc_gt_format(path, t, poses, header="hdr")
+        back = poses_io.read_newer_college_gt(path)
+        assert len(back) == 4
+        for (bt, bp), p, ti in zip(back, poses, t):
+            assert abs(bt - ti) < 1e-6
+            assert np.allclose(bp, p, atol=1e-6)
+
+    def test_ts_matching(self):
+        a = [(i * 0.1, np.eye(4) * (i + 1)) for i in range(50)]
+        bt = [i * 0.1 + 0.001 for i in range(0, 50, 5)]
+        am, bm = poses_io.filter_nc_gt_by_close_ts(a, bt)
+        assert len(am) == len(bm)
+        assert len(am) >= 9
+        for (ta, _), tb in zip(am, bm):
+            assert abs(ta - tb) < 0.05
