@@ -33,6 +33,16 @@ class KissConfig:
     # on TPU we run a fixed count with a convergence mask (SURVEY.md section 7)
     max_iterations: int = 50
     convergence_criterion: float = 1e-4
+    # registration loss: "plane" (point-to-plane with per-voxel normal fits,
+    # our TPU-first improvement — stable on flat, ring-sampled ground) or
+    # "point" (kiss-icp parity point-to-point)
+    loss: str = "plane"
+    plane_min_quality: float = 0.2
+    approx_nn: bool = True
+    # motion-prior regularization toward the initial guess (0 = kiss parity);
+    # bounds sampling-noise random walk of the GN on self-similar geometry
+    prior_rot_weight: float = 0.01
+    prior_trans_weight: float = 0.01
 
     @property
     def resolved_voxel_size(self) -> float:

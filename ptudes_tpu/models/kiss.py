@@ -145,6 +145,11 @@ def register_scan(
         max_probes=cap.max_probes,
         max_iterations=cfg.max_iterations,
         convergence=cfg.convergence_criterion,
+        approx=cfg.approx_nn,
+        loss=cfg.loss,
+        plane_min_quality=cfg.plane_min_quality,
+        prior_rot_weight=cfg.prior_rot_weight,
+        prior_trans_weight=cfg.prior_trans_weight,
     )
     new_pose = res.pose
 

@@ -1,0 +1,177 @@
+"""Fused lidar-inertial odometry pipeline: one jit-compiled ``scan_step``
+under ``lax.scan``.
+
+This is the flagship model — the TPU-native re-design of the reference's
+``ptudes ekf-bench ouster`` hot loop (``src/ptudes/cli/ekf_bench.py:493-563``,
+call stack SURVEY.md section 3.1):
+
+    per scan:  [<=K IMU samples] -> EKF predict (inner lax.scan)
+               pose guess (const-velocity | EKF prediction | GT)
+               deskew -> clip -> voxelize -> robust ICP -> map update
+               EKF update with the ICP pose
+
+The whole step is a pure function over a static-shape ``LioState``; a full
+sequence runs as ``lax.scan(scan_step, state, batches)`` entirely on
+device, and ``vmap`` over the leading axis of states+batches gives
+multi-bag replay / parameter sweeps (SURVEY.md section 2c).
+
+``guess='ekf'`` is the reference's ``--use-imu-prediction`` loosely-coupled
+LIO mode (``src/ptudes/cli/ekf_bench.py:342-345,533-535``); ``'gt'`` is the
+``--use-gt-guess`` sanity mode; ``'kiss'`` is plain const-velocity kiss.
+Scans with no interleaved IMU samples are skipped exactly like the
+reference does (``src/ptudes/cli/ekf_bench.py:512-518``) — realised as a
+masked state update.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..geom import se3
+from ..ops.projection import XyzLut, scan_to_points
+from . import esekf, kiss
+from .esekf import EkfState, Imu
+from .kiss import KissAux, KissState
+
+
+class LioState(NamedTuple):
+    kiss: KissState
+    ekf: EkfState
+
+
+class ScanBatch(NamedTuple):
+    """Per-scan input; stack along a leading axis for lax.scan."""
+    range_m: jax.Array    # [H, W] meters, 0 = no return
+    scan_ts: jax.Array    # [] f32 seconds
+    imu: Imu              # lacc/avel [K, 3], ts [K]
+    imu_valid: jax.Array  # [K] bool
+    guess_pose: jax.Array  # [4, 4] external guess (gt mode; else identity)
+
+
+class LioOut(NamedTuple):
+    kiss_pose: jax.Array  # [4, 4]
+    ekf_pose: jax.Array   # [4, 4]
+    scan_valid: jax.Array  # bool — False for skipped scans (no IMUs)
+    aux: KissAux
+
+
+def init_state(cfg: PipelineConfig,
+               init_grav=None, init_bacc=None, init_bgyr=None) -> LioState:
+    return LioState(
+        kiss=kiss.init_state(cfg.kiss, cfg.cap),
+        ekf=esekf.init_state(cfg.ekf, init_grav=init_grav,
+                             init_bacc=init_bacc, init_bgyr=init_bgyr),
+    )
+
+
+def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
+    """Build the jittable scan_step closure over the projection LUT."""
+
+    def scan_step(state: LioState, batch: ScanBatch):
+        # 1. EKF predict over the scan's IMU block (reference interleaves
+        #    ~10 IMUs per scan, ekf_bench.py:491-518)
+        ekf1 = esekf.process_imu_batch(
+            state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
+
+        # 2. device-side projection
+        pts, mask, ts01 = scan_to_points(lut, batch.range_m)
+
+        # 3. initial-guess policy (ekf_bench.py:533-548)
+        if cfg.guess == "ekf":
+            guess, use_guess = esekf.pose_mat(ekf1), True
+        elif cfg.guess == "gt":
+            guess, use_guess = batch.guess_pose, True
+        else:
+            guess, use_guess = None, False
+
+        kiss1, pose, aux = kiss.register_scan(
+            state.kiss, pts, mask, ts01, cfg=cfg.kiss, cap=cfg.cap,
+            initial_guess=guess, use_guess=use_guess)
+
+        # 4. EKF update with the ICP pose (ekf_bench.py:555)
+        ekf2 = esekf.process_pose(ekf1, pose, cfg=cfg.ekf)
+
+        # 5. skip scans with no interleaved IMUs (state frozen except the
+        #    already-applied IMU predict — matching the reference, which
+        #    `continue`s before KISS/update, ekf_bench.py:512-518)
+        has_imu = jnp.any(batch.imu_valid)
+        new_state = LioState(kiss=kiss1, ekf=ekf2)
+        frozen = LioState(kiss=state.kiss, ekf=ekf1)
+        out_state = jax.tree.map(
+            lambda a, b: jnp.where(has_imu, a, b), new_state, frozen)
+
+        out = LioOut(
+            kiss_pose=pose,
+            ekf_pose=esekf.pose_mat(out_state.ekf),
+            scan_valid=has_imu,
+            aux=aux,
+        )
+        return out_state, out
+
+    return scan_step
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(
+    state: LioState, batches: ScanBatch, lut: XyzLut, *, cfg: PipelineConfig
+) -> tuple[LioState, LioOut]:
+    """lax.scan the fused step over stacked batches (device-resident)."""
+    step = make_scan_step(lut, cfg)
+    return jax.lax.scan(step, state, batches)
+
+
+def build_batches(
+    cfg: PipelineConfig,
+    range_m: np.ndarray,       # [N, H, W] meters
+    scan_ts: np.ndarray,       # [N]
+    imu_lacc: np.ndarray,      # [M, 3]
+    imu_avel: np.ndarray,      # [M, 3]
+    imu_ts: np.ndarray,        # [M]
+    guess_poses: np.ndarray | None = None,  # [N, 4, 4] for gt mode
+) -> ScanBatch:
+    """Host-side batcher: window IMU samples per scan interval.
+
+    Scan i gets the IMU samples with ts in (scan_ts[i-1], scan_ts[i]]
+    (first scan: everything up to its timestamp), padded/truncated to
+    ``cfg.max_imu_per_scan`` — the reference streams them interleaved
+    (``src/ptudes/data.py:49-77``); here they become a dense [N, K] block.
+    """
+    n = len(scan_ts)
+    k = cfg.max_imu_per_scan
+    lacc = np.zeros((n, k, 3), np.float32)
+    avel = np.zeros((n, k, 3), np.float32)
+    ts = np.zeros((n, k), np.float32)
+    valid = np.zeros((n, k), bool)
+    prev = -np.inf
+    dropped = 0
+    for i, t1 in enumerate(scan_ts):
+        sel = np.where((imu_ts > prev) & (imu_ts <= t1))[0]
+        if len(sel) > k:
+            dropped += len(sel) - k
+            sel = sel[-k:]
+        m = len(sel)
+        lacc[i, :m] = imu_lacc[sel]
+        avel[i, :m] = imu_avel[sel]
+        ts[i, :m] = imu_ts[sel]
+        valid[i, :m] = True
+        prev = t1
+    if dropped:
+        import warnings
+        warnings.warn(
+            f"{dropped} IMU samples dropped: more than max_imu_per_scan="
+            f"{k} in some scan intervals")
+    if guess_poses is None:
+        guess_poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    return ScanBatch(
+        range_m=jnp.asarray(range_m, jnp.float32),
+        scan_ts=jnp.asarray(scan_ts, jnp.float32),
+        imu=Imu(lacc=jnp.asarray(lacc), avel=jnp.asarray(avel),
+                ts=jnp.asarray(ts)),
+        imu_valid=jnp.asarray(valid),
+        guess_pose=jnp.asarray(guess_poses, jnp.float32),
+    )

@@ -186,6 +186,13 @@ def insert(
     return VoxelHashMap(fps=fps, counts=counts, reps=reps, points=points)
 
 
+class QueryResult(NamedTuple):
+    nn: jax.Array      # [M, 3] nearest stored point
+    d2: jax.Array      # [M] squared distance (inf if not found)
+    found: jax.Array   # [M] bool
+    slot: jax.Array    # [M] int32 slot of the voxel containing nn (cap if none)
+
+
 @partial(
     jax.jit, static_argnames=("voxel_size", "max_probes", "approx")
 )
@@ -196,11 +203,13 @@ def query(
     voxel_size: float,
     max_probes: int = 4,
     approx: bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> QueryResult:
     """Nearest stored neighbor of each query point over 27 adjacent voxels
     (kiss-icp ``GetClosestNeighbor`` semantics).
 
-    Returns (nn [M, 3], dist2 [M], found [M]).
+    Also reports the winning voxel's slot so callers can fetch the voxel's
+    full point list (e.g. for point-to-plane normal fits) without a second
+    search.
     """
     cap = m.fps.shape[0]
     ppv = m.points.shape[1]
@@ -237,6 +246,7 @@ def query(
 
         best_d2 = jnp.full((mnum,), jnp.inf, jnp.float32)
         best_nn = jnp.zeros((mnum, 3), jnp.float32)
+        win_slot = jnp.full((mnum,), cap, jnp.int32)
         for sl, ok in ((best_slot, best_ok), (center_slot, center_ok)):
             vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
             cnt = m.counts.at[sl].get(mode="fill", fill_value=0)
@@ -252,13 +262,16 @@ def query(
                 jnp.take_along_axis(vox_pts, k[:, None, None], 1)[:, 0],
                 best_nn,
             )
+            win_slot = jnp.where(better, sl, win_slot)
             best_d2 = jnp.where(better, dmin, best_d2)
         ok = jnp.isfinite(best_d2)
-        return jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok
+        return QueryResult(
+            jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok, win_slot)
 
     # exact: running min over all 27 neighbors' full point lists
     best_d2 = jnp.full((mnum,), jnp.inf, jnp.float32)
     best_nn = jnp.zeros((mnum, 3), jnp.float32)
+    win_slot = jnp.full((mnum,), cap, jnp.int32)
     for j in range(27):
         sl = found_slot[:, j]
         vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
@@ -275,9 +288,11 @@ def query(
             jnp.take_along_axis(vox_pts, k[:, None, None], 1)[:, 0],
             best_nn,
         )
+        win_slot = jnp.where(better, sl, win_slot)
         best_d2 = jnp.where(better, dmin, best_d2)
     ok = jnp.isfinite(best_d2)
-    return jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok
+    return QueryResult(
+        jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok, win_slot)
 
 
 @jax.jit

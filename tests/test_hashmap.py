@@ -68,9 +68,8 @@ def test_query_exact_nn_within_neighborhood():
     pts = RNG.uniform(-15, 15, size=(2000, 3)).astype(np.float32)
     m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=VS)
     q = (pts[:300] + RNG.normal(scale=0.2, size=(300, 3))).astype(np.float32)
-    nn, d2, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS,
-                                  approx=False)
-    nn, d2, found = np.asarray(nn), np.asarray(d2), np.asarray(found)
+    res = hashmap.query(m, jnp.asarray(q), voxel_size=VS, approx=False)
+    nn, d2, found = np.asarray(res.nn), np.asarray(res.d2), np.asarray(res.found)
     assert found.all()
     bn, bd = brute_nn(pts, q)
     # exact query matches bruteforce whenever the true NN lies in the
@@ -82,9 +81,9 @@ def test_query_exact_nn_within_neighborhood():
     agree = np.isclose(np.sqrt(d2[same_nbhd]), bd[same_nbhd], atol=1e-5)
     assert agree.all()
     # approximate (rep-ranked) query: errors bounded by the voxel diagonal
-    nn_a, d2_a, found_a = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
-    assert np.asarray(found_a).all()
-    gap = np.sqrt(np.asarray(d2_a)) - np.sqrt(d2)
+    res_a = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    assert np.asarray(res_a.found).all()
+    gap = np.sqrt(np.asarray(res_a.d2)) - np.sqrt(d2)
     assert (gap >= -1e-5).all()  # approx can never beat exact
     assert np.quantile(gap, 0.95) < VS  # and is rarely much worse
 
@@ -94,8 +93,8 @@ def test_query_not_found_far_away():
     pts = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
     m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(100, bool), voxel_size=VS)
     q = np.array([[100.0, 100.0, 100.0]], np.float32)
-    _, _, found = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
-    assert not bool(found[0])
+    res = hashmap.query(m, jnp.asarray(q), voxel_size=VS)
+    assert not bool(res.found[0])
 
 
 def test_remove_far_evicts():
@@ -125,9 +124,9 @@ def test_reinsert_after_eviction():
     assert int(hashmap.num_points(m)) == 0
     m = hashmap.insert(m, jnp.asarray(pts), jnp.ones(50, bool), voxel_size=VS)
     assert int(hashmap.num_points(m)) == 50
-    nn, d2, found = hashmap.query(m, jnp.asarray(pts[:10]), voxel_size=VS)
-    assert np.asarray(found).all()
-    assert np.allclose(np.asarray(d2), 0.0, atol=1e-6)
+    res = hashmap.query(m, jnp.asarray(pts[:10]), voxel_size=VS)
+    assert np.asarray(res.found).all()
+    assert np.allclose(np.asarray(res.d2), 0.0, atol=1e-6)
 
 
 def test_load_factor_contract():

@@ -1,0 +1,131 @@
+"""Fused LIO pipeline tests (the flagship scan_step under lax.scan)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ptudes_tpu.config import Capacity, EkfConfig, KissConfig, PipelineConfig
+from ptudes_tpu.models import lio, sim
+
+N_SCANS = 20
+
+
+def make_cfg(guess="ekf", **kiss_kw):
+    kw = dict(max_range=30.0, min_range=1.0, max_points_per_voxel=16,
+              max_iterations=40, deskew=False, loss="point")
+    kw.update(kiss_kw)
+    return PipelineConfig(
+        kiss=KissConfig(**kw),
+        cap=Capacity(max_points=32 * 256, max_frame=16384, max_source=8192,
+                     map_capacity=1 << 16, dedup_table=1 << 17),
+        ekf=EkfConfig(),
+        max_imu_per_scan=16,
+        guess=guess,
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_run():
+    ts, poses = sim.circle_trajectory(N_SCANS, radius=8.0, speed=2.0,
+                                      scan_dt=0.1)
+    world = sim.make_sim_world(seed=0, extent=25.0, n_boxes=40,
+                               keepout_points=poses[:, :3, 3])
+    sensor = sim.make_sim_sensor(h=32, w=256, fov_deg=45.0)
+    scans = np.stack([
+        sim.render_range_image(world, poses[i], sensor, max_range=60.0,
+                               noise_std=0.01, seed=i)
+        for i in range(N_SCANS)
+    ])
+    imu_ts = np.arange(1, N_SCANS * 10 + 1) * 0.01
+    imu = sim.imu_for_circle(imu_ts, radius=8.0, speed=2.0)
+    return sensor, ts, poses, scans, imu, imu_ts
+
+
+def run(cfg, sensor, ts, scans, imu, imu_ts, guess_poses=None):
+    batches = lio.build_batches(
+        cfg, scans, ts + 1e-9, np.asarray(imu.lacc), np.asarray(imu.avel),
+        imu_ts, guess_poses=guess_poses)
+    state = lio.init_state(cfg)
+    return lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
+
+
+def rel_gt(poses):
+    return np.einsum("ij,njk->nik", np.linalg.inv(poses[0]), poses)
+
+
+def test_ekf_guess_lio_tracks(sim_run):
+    """Loosely-coupled LIO (--use-imu-prediction equivalent) stays locked
+    to ground truth over the full circle."""
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    fin, out = run(cfg, sensor, ts, scans, imu, imu_ts)
+    rel = rel_gt(poses)
+    kerr = np.linalg.norm(
+        np.asarray(out.kiss_pose)[:, :3, 3] - rel[:, :3, 3], axis=1)
+    eerr = np.linalg.norm(
+        np.asarray(out.ekf_pose)[:, :3, 3] - rel[:, :3, 3], axis=1)
+    assert np.mean(kerr**2) < 0.2, f"kiss ATE {np.mean(kerr**2):.4f}"
+    assert np.mean(eerr**2) < 0.2, f"ekf ATE {np.mean(eerr**2):.4f}"
+    # scan 0 (ts=0) has no preceding IMU samples -> correctly skipped
+    assert np.asarray(out.scan_valid)[1:].all()
+    # EKF velocity should be near the commanded 2 m/s after warmup
+    assert abs(float(jnp.linalg.norm(fin.ekf.vel)) - 2.0) < 0.5
+
+
+def test_gt_guess_mode(sim_run):
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("gt")
+    fin, out = run(cfg, sensor, ts, scans, imu, imu_ts,
+                   guess_poses=rel_gt(poses))
+    rel = rel_gt(poses)
+    kerr = np.linalg.norm(
+        np.asarray(out.kiss_pose)[:, :3, 3] - rel[:, :3, 3], axis=1)
+    assert np.mean(kerr**2) < 0.1
+
+
+def test_scan_without_imu_is_skipped(sim_run):
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    batches = lio.build_batches(
+        cfg, scans, ts + 1e-9, np.asarray(imu.lacc), np.asarray(imu.avel),
+        imu_ts)
+    # blank out scan 5's IMU block
+    iv = np.asarray(batches.imu_valid).copy()
+    iv[5] = False
+    batches = batches._replace(imu_valid=jnp.asarray(iv))
+    state = lio.init_state(cfg)
+    fin, out = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
+    sv = np.asarray(out.scan_valid)
+    assert not sv[5] and sv[4] and sv[6]
+    # skipped scan did not register: kiss pose at 5 unused; ekf pose at 5
+    # equals the prediction-only pose (no jump)
+    assert np.isfinite(np.asarray(out.ekf_pose)).all()
+
+
+def test_vmap_multibag(sim_run):
+    """8-way-style batched replay (BASELINE config 5) — here 2 sequences
+    on the virtual device mesh's host platform."""
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    batches = lio.build_batches(
+        cfg, scans, ts + 1e-9, np.asarray(imu.lacc), np.asarray(imu.avel),
+        imu_ts)
+    # bag 2 = same with slightly noisier scans
+    rng = np.random.default_rng(5)
+    scans2 = np.where(scans > 0, scans + rng.normal(0, 0.02, scans.shape), 0.0
+                      ).astype(np.float32)
+    batches2 = batches._replace(range_m=jnp.asarray(scans2))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), batches, batches2)
+    states = jax.tree.map(
+        lambda x: jnp.stack([x, x]),
+        lio.init_state(cfg))
+
+    fin, out = jax.vmap(
+        lambda s, b: lio.run_sequence(s, b, sensor.lut, cfg=cfg)
+    )(states, stacked)
+    assert out.kiss_pose.shape == (2, N_SCANS, 4, 4)
+    rel = rel_gt(poses)
+    for b in range(2):
+        kerr = np.linalg.norm(
+            np.asarray(out.kiss_pose)[b, :, :3, 3] - rel[:, :3, 3], axis=1)
+        assert np.mean(kerr**2) < 0.3
