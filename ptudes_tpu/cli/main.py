@@ -1,0 +1,525 @@
+"""ptudes-tpu CLI — mirrors the reference's command surface
+(``ptudes flyby|viz|stat|ekf-bench {sim,nc,ouster,cmp}``,
+``src/ptudes/cli/run.py:17-22`` and ``src/ptudes/cli/ekf_bench.py:763-766``)
+on the TPU-native pipeline.
+
+3D OpenGL viewing is out of TPU scope (SURVEY.md L6): ``flyby`` and ``viz``
+produce PLY maps / camera programs / matplotlib figures instead.
+"""
+from __future__ import annotations
+
+import time
+
+import click
+import numpy as np
+
+from .. import GRAV
+from ..config import Capacity, EkfConfig, KissConfig, PipelineConfig
+
+DOWN = np.array([0.0, 0.0, -1.0])
+UP = np.array([0.0, 0.0, 1.0])
+
+
+@click.group(name="ptudes-tpu")
+def ptudes_cli() -> None:
+    """P(oint)(e)tudes on TPU: lidar odometry, SLAM and mapping tools."""
+
+
+# ---------------------------------------------------------------- sources
+
+def _load_source(file, meta):
+    from ..io.metadata import read_metadata_json, resolve_metadata
+    from ..io.sources import read_packet_source
+
+    meta_path = resolve_metadata(file, meta)
+    if not meta_path:
+        raise click.ClickException(
+            "Metadata not found; specify with -m/--meta")
+    info = read_metadata_json(meta_path)
+    scans, imu = read_packet_source(file, info)
+    return info, scans, imu, meta_path
+
+
+def _nav_frame_lut(info, cap_h=None):
+    """LUT projecting into the IMU/nav frame (the reference's extrinsics
+    trick, ``src/ptudes/cli/ekf_bench.py:440-447``)."""
+    from ..ops.projection import make_xyz_lut
+
+    imu_to_sensor = info.imu_to_sensor_transform.copy()
+    imu_to_sensor[:3, 3] /= 1000.0
+    sensor_to_imu = np.linalg.inv(imu_to_sensor)
+    return make_xyz_lut(
+        info.w, info.h,
+        info.beam_altitude_angles, info.beam_azimuth_angles,
+        info.lidar_origin_to_beam_origin_mm,
+        info.lidar_to_sensor_transform,
+        extrinsic=sensor_to_imu,
+    )
+
+
+# ------------------------------------------------------------------- stat
+
+@ptudes_cli.command(name="stat")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-m", "--meta", type=click.Path(exists=True), default=None)
+@click.option("-t", "--duration", type=float, default=0.0,
+              help="Only stat the first DURATION seconds")
+@click.option("--beams", type=int, default=32,
+              help="Beam subsample for range stats (default 32)")
+def cmd_stat(file, meta, duration, beams):
+    """Stream statistics: range/IMU mean/std + gravity estimate
+    (reference ``ptudes stat``, ``src/ptudes/cli/stat.py``)."""
+    from ..utils.stats import sequence_stats
+
+    info, scans, imu, _ = _load_source(file, meta)
+    sel_s = slice(None)
+    sel_i = slice(None)
+    if duration > 0 and len(scans.ts):
+        t0 = min(scans.ts[0] if len(scans.ts) else np.inf,
+                 imu.ts[0] if len(imu.ts) else np.inf)
+        sel_s = scans.ts <= t0 + duration
+        sel_i = imu.ts <= t0 + duration
+    tracker = sequence_stats(
+        scans.range_mm[sel_s], scans.ts[sel_s],
+        imu.lacc[sel_i], imu.avel[sel_i], imu.ts[sel_i],
+        use_beams_num=beams, range_unit_m=info.range_unit_m())
+    print(tracker)
+    print("Grav vector est: ", tracker.gravity_estimate)
+
+
+# --------------------------------------------------------------- ekf-bench
+
+@ptudes_cli.group(name="ekf-bench")
+def ekf_bench() -> None:
+    """ES EKF benchmarks and experiments."""
+
+
+@ekf_bench.command(name="sim")
+@click.option("-t", "--duration", type=float, default=2.0)
+@click.option("-f", "--freq", type=float, default=100.0)
+@click.option("--corr-t", type=float, default=0.1,
+              help="Pose correction interval (s)")
+@click.option("--acc-noise-std", type=float, default=0.4)
+@click.option("--gyr-noise-std", type=float, default=0.4)
+@click.option("--seed", type=int, default=42)
+@click.option("-p", "--plot", type=str, default=None,
+              help="[graphs]")
+def cmd_ekf_sim(duration, freq, corr_t, acc_noise_std, gyr_noise_std, seed,
+                plot):
+    """EKF with simulated IMU: the noise-free twin's integration is ground
+    truth for corrections (reference ``ekf-bench sim``,
+    ``src/ptudes/cli/ekf_bench.py:107-179``)."""
+    import jax.numpy as jnp
+    from ..models import esekf, sim
+    from ..utils.metrics import calc_ate, calc_ate_rmse
+
+    n = int(duration * freq)
+    ideal, noisy = sim.sim_imu_arrays(
+        seed, n, freq=freq, acc_noise_std=acc_noise_std,
+        gyr_noise_std=gyr_noise_std)
+    cfg = EkfConfig()
+    corr_every = max(int(round(corr_t * freq)), 1)
+    corr = (jnp.arange(n) % corr_every == 0) & (jnp.arange(n) > 0)
+
+    s_gt, log_gt = esekf.run_filter(
+        esekf.init_state(cfg), ideal, jnp.zeros(n, bool),
+        jnp.tile(jnp.eye(4), (n, 1, 1)), cfg=cfg)
+    gt_poses = np.tile(np.eye(4), (n, 1, 1))
+    gt_poses[:, :3, :3] = np.asarray(
+        jnp.asarray([[1.0]]))  # placeholder replaced below
+    from ..geom import so3
+    gt_poses = np.tile(np.eye(4), (n, 1, 1))
+    gt_poses[:, :3, :3] = np.asarray(so3.quat_to_mat(log_gt.att_q))
+    gt_poses[:, :3, 3] = np.asarray(log_gt.pos)
+
+    s, log = esekf.run_filter(
+        esekf.init_state(cfg), noisy, corr,
+        jnp.asarray(gt_poses, jnp.float32), cfg=cfg)
+
+    upd = np.asarray(log.updated)
+    est_poses = np.tile(np.eye(4), (int(upd.sum()), 1, 1))
+    est_poses[:, :3, :3] = np.asarray(so3.quat_to_mat(log.att_q))[upd]
+    est_poses[:, :3, 3] = np.asarray(log.pos)[upd]
+    ate_rot, ate_trans = calc_ate(est_poses, gt_poses[upd])
+    rmse_rot, rmse_trans = calc_ate_rmse(est_poses, gt_poses[upd])
+    print(f"processed duration: {duration:0.04} s")
+    print(f"updates num: {int(upd.sum())}\n")
+    print(f"ATE_rot:   {ate_rot:.04f} deg")
+    print(f"ATE trans: {ate_trans:.04f} m")
+    print(f"ATE RMSE:  {rmse_rot:.04f} deg / {rmse_trans:.04f} m")
+
+    if plot == "graphs":
+        from ..viz.graphs import ekf_error_graphs, ekf_graphs
+        ekf_graphs(log, imu_lacc=np.asarray(noisy.lacc),
+                   imu_avel=np.asarray(noisy.avel))
+        ekf_error_graphs(log_gt, log)
+
+
+@ekf_bench.command(name="nc")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-g", "--gt-file", required=True,
+              type=click.Path(exists=True))
+@click.option("-t", "--duration", type=float, default=0.0)
+@click.option("--start-ts", type=float, default=0.0)
+@click.option("-i", "--imu-topic", default="/os_node/imu_packets")
+@click.option("-p", "--plot", type=str, default=None)
+@click.option("--xy-plot", is_flag=True)
+def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
+    """IMU-only EKF on Newer College bags, GT poses as corrections
+    (reference ``ekf-bench nc``, ``src/ptudes/cli/ekf_bench.py:182-323``)."""
+    import jax.numpy as jnp
+    from ..geom import so3
+    from ..io.poses import read_newer_college_gt
+    from ..io.sources import read_imu_bag
+    from ..models import esekf
+    from ..models.esekf import Imu
+    from ..utils.metrics import calc_ate
+
+    init_grav = GRAV * UP
+    if imu_topic in ["/os_cloud_node/imu", "/os_node/imu_packets"]:
+        init_grav = GRAV * DOWN
+    print("init_grav = ", init_grav)
+
+    imu = read_imu_bag(file, imu_topic=imu_topic)
+    gts = read_newer_college_gt(gt_file)
+
+    t0 = imu.ts[0] + start_ts
+    sel = imu.ts >= t0
+    if duration > 0:
+        sel &= imu.ts <= t0 + duration
+    lacc, avel, ts = imu.lacc[sel], imu.avel[sel], imu.ts[sel]
+    n = len(ts)
+
+    # correction schedule: fire at first IMU tick past each GT knot
+    gt_t = np.asarray([g[0] for g in gts])
+    gt_p = np.asarray([g[1] for g in gts])
+    start_knot = int(np.searchsorted(gt_t, ts[0]))
+    gt_pose0 = np.linalg.inv(gt_p[min(start_knot, len(gt_p) - 1)])
+    corr = np.zeros(n, bool)
+    corr_poses = np.tile(np.eye(4), (n, 1, 1))
+    ki = start_knot
+    for i in range(n):
+        if ki < len(gt_t) and ts[i] >= gt_t[ki]:
+            corr[i] = True
+            corr_poses[i] = gt_pose0 @ gt_p[ki]
+            ki += 1
+
+    cfg = EkfConfig()
+    imus = Imu(lacc=jnp.asarray(lacc, jnp.float32),
+               avel=jnp.asarray(avel, jnp.float32),
+               ts=jnp.asarray(ts - ts[0], jnp.float32))
+    s, log = esekf.run_filter(
+        esekf.init_state(cfg, init_grav=jnp.asarray(init_grav, jnp.float32)),
+        imus, jnp.asarray(corr), jnp.asarray(corr_poses, jnp.float32),
+        cfg=cfg)
+
+    upd = np.asarray(log.updated)
+    print(f"scanned duration: {ts[-1] - ts[0]:0.04} s")
+    print(f"updates num: {int(upd.sum())}\n")
+    if upd.any():
+        est = np.tile(np.eye(4), (int(upd.sum()), 1, 1))
+        est[:, :3, :3] = np.asarray(so3.quat_to_mat(log.att_q))[upd]
+        est[:, :3, 3] = np.asarray(log.pos)[upd]
+        ate_rot, ate_trans = calc_ate(est, corr_poses[upd])
+        print(f"ATE_rot:   {ate_rot:.04f} deg")
+        print(f"ATE trans: {ate_trans:.04f} m")
+
+    if plot == "graphs":
+        from ..viz.graphs import ekf_graphs
+        ekf_graphs(log, imu_lacc=lacc, imu_avel=avel, xy_plot=xy_plot,
+                   gt=(ts[upd], corr_poses[upd]),
+                   labels=["ES EKF IMU + GT pose correction", "GT poses"])
+
+
+@ekf_bench.command(name="ouster")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-m", "--meta", type=click.Path(exists=True), default=None)
+@click.option("--start-scan", type=int, default=0)
+@click.option("--end-scan", type=int, default=None)
+@click.option("--use-imu-prediction", is_flag=True,
+              help="EKF pose prediction as the ICP guess (loosely coupled "
+              "LIO)")
+@click.option("--use-gt-guess", is_flag=True,
+              help="GT pose as ICP guess (sanity testing)")
+@click.option("-g", "--gt-file", type=click.Path(exists=True), default=None)
+@click.option("--kiss-min-range", type=float, default=1.0)
+@click.option("--kiss-max-range", type=float, default=70.0)
+@click.option("--beams", type=int, default=0)
+@click.option("--loss", type=click.Choice(["plane", "point"]),
+              default="plane")
+@click.option("--save-kitti-poses", type=click.Path(), default=None)
+@click.option("--save-nc-gt-poses", type=click.Path(), default=None)
+@click.option("--save-map-ply", type=click.Path(), default=None,
+              help="Export the final local map as PLY")
+@click.option("-p", "--plot", type=str, default=None)
+def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
+                   use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
+                   beams, loss, save_kitti_poses, save_nc_gt_poses,
+                   save_map_ply, plot):
+    """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
+    ES-EKF smoothing (reference ``ekf-bench ouster``,
+    ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
+    import jax
+    import jax.numpy as jnp
+    from ..io.poses import (filter_nc_gt_by_close_ts, read_newer_college_gt,
+                            save_poses_kitti_format, save_poses_nc_gt_format)
+    from ..models import lio
+    from ..ops.projection import reduce_active_beams_mask
+    from ..utils.metrics import calc_ate, calc_ate_rmse
+    from ..utils.trajectory import poses_for_scans
+
+    if use_gt_guess and not gt_file:
+        raise click.ClickException("--use-gt-guess requires --gt-file")
+
+    info, scans, imu, meta_path = _load_source(file, meta)
+    scans = scans.window(start_scan, end_scan)
+    print(f"data path: {file}")
+    print(f"metadata path: {meta_path}\n")
+    print(f"scans: {len(scans)}, imus: {len(imu)}")
+    print(f"kiss min/max: {kiss_min_range} - {kiss_max_range}")
+    print(f"use-imu-prediction: {use_imu_prediction}, "
+          f"use-gt-guess: {use_gt_guess}")
+    print(f"sensor: {info.prod_line}, {info.mode}, loss: {loss}")
+
+    guess = ("ekf" if use_imu_prediction
+             else "gt" if use_gt_guess else "kiss")
+    cfg = PipelineConfig(
+        kiss=KissConfig(max_range=kiss_max_range, min_range=kiss_min_range,
+                        deskew=True, loss=loss),
+        cap=Capacity(max_points=info.h * info.w),
+        ekf=EkfConfig(),
+        guess=guess,
+    )
+    lut = _nav_frame_lut(info)
+
+    range_m = scans.range_mm.astype(np.float32) * info.range_unit_m()
+    if beams:
+        keep = reduce_active_beams_mask(info.h, beams)
+        range_m = range_m * keep[None, :, None]
+
+    guess_poses = None
+    gts = read_newer_college_gt(gt_file) if gt_file else []
+    if use_gt_guess:
+        gp, gvalid = poses_for_scans(scans.ts, gts, time_bounds=1.0)
+        gp0 = np.linalg.inv(gp[gvalid][0]) if gvalid.any() else np.eye(4)
+        guess_poses = np.einsum("ij,njk->nik", gp0, gp)
+
+    batches = lio.build_batches(
+        cfg, range_m, scans.ts, imu.lacc, imu.avel, imu.ts,
+        guess_poses=guess_poses)
+    state = lio.init_state(cfg)
+
+    t0 = time.monotonic()
+    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+    jax.block_until_ready(out.kiss_pose)
+    t_total = time.monotonic() - t0
+    n = len(scans)
+    print(f"\nTimings: {t_total:.3f} s total (incl. compile), "
+          f"{t_total / max(n, 1):.5f} s per scan")
+
+    res_poses = np.asarray(out.ekf_pose, np.float64)
+    kiss_poses = np.asarray(out.kiss_pose, np.float64)
+    res_t = scans.ts
+
+    header = (f"ptudes-tpu ekf-bench ouster {file}\n"
+              f"scans: {n}, loss: {loss}, guess: {guess}")
+    if save_kitti_poses:
+        save_poses_kitti_format(save_kitti_poses, res_poses, header=header)
+        print(f"Kitti poses saved to: {save_kitti_poses}")
+    if save_nc_gt_poses:
+        save_poses_nc_gt_format(save_nc_gt_poses, res_t, res_poses,
+                                header=header)
+        print(f"NC GT poses saved to: {save_nc_gt_poses}")
+    if save_map_ply:
+        from ..viz.cloud import map_to_points, save_ply
+        save_ply(save_map_ply, map_to_points(fin.kiss.local_map))
+        print(f"Local map saved to: {save_map_ply}")
+
+    if gts:
+        gts_m, res_t_m = filter_nc_gt_by_close_ts(gts, list(res_t))
+        if gts_m:
+            idx = np.searchsorted(res_t, res_t_m)
+            gt2 = np.asarray([g[1] for g in gts_m])
+            for name, poses_arr in [("ES EKF smoothing", res_poses[idx]),
+                                    ("no-EKF, only KissICP",
+                                     kiss_poses[idx])]:
+                ate_rot, ate_trans = calc_ate(poses_arr, gt2)
+                rr, rt = calc_ate_rmse(poses_arr, gt2)
+                print(f"\nGround truth comparison ({name}, "
+                      f"{len(gt2)} poses):")
+                print(f"ATE_rot:   {ate_rot:.04f} deg")
+                print(f"ATE trans: {ate_trans:.04f} m")
+                print(f"ATE RMSE:  {rr:.04f} deg / {rt:.04f} m")
+
+    if plot == "graphs":
+        from ..viz.graphs import kiss_innovation_graph
+        kiss_innovation_graph(res_t, np.asarray(out.aux.err_dt),
+                              np.asarray(out.aux.err_drot),
+                              np.asarray(out.aux.sigma))
+
+
+@ekf_bench.command(name="cmp")
+@click.argument("gt_file", type=click.Path(exists=True))
+@click.argument("gt_file_cmp", nargs=-1, type=click.Path(exists=True))
+@click.option("-p", "--plot", type=str, default=None)
+@click.option("--use-gt-frame", is_flag=True)
+@click.option("--xy-plot", is_flag=True)
+def cmd_ekf_cmp(gt_file, gt_file_cmp, plot, use_gt_frame, xy_plot):
+    """Compare trajectories in Newer College format (reference
+    ``ekf-bench cmp``, ``src/ptudes/cli/ekf_bench.py:669-760``)."""
+    import os
+    from ..io.poses import filter_nc_gt_by_cmp, read_newer_college_gt
+    from ..utils.metrics import calc_ate
+
+    gts_all = read_newer_college_gt(gt_file)
+    gts_cmp_all = [read_newer_college_gt(f) for f in gt_file_cmp]
+
+    gts, gts_cmp = [], []
+    for gc in gts_cmp_all:
+        a, b = filter_nc_gt_by_cmp(gts_all, gc)
+        gts.append(a)
+        gts_cmp.append(b)
+
+    fname = lambda f: os.path.splitext(os.path.basename(f))[0]  # noqa: E731
+    for idx, cmp_file in enumerate(gt_file_cmp):
+        a = np.asarray([p for _, p in gts[idx]])
+        b = np.asarray([p for _, p in gts_cmp[idx]])
+        ate_rot, ate_trans = calc_ate(a, b)
+        print(f"\nTraj poses comparisons GT v. {fname(cmp_file)} "
+              f"({len(a)} poses):")
+        print(f"ATE_rot:   {ate_rot:.04f} deg")
+        print(f"ATE trans: {ate_trans:.04f} m")
+
+    if plot in ("graphs", "graphs_full"):
+        from ..viz.graphs import gt_poses_graphs
+        sets = [gts_all if plot == "graphs_full" else
+                (gts[0] if gts else gts_all)]
+        for idx in range(len(gts_cmp)):
+            aligned = gts_cmp[idx]
+            if use_gt_frame and gts[idx]:
+                p0 = gts[idx][0][1] @ np.linalg.inv(gts_cmp[idx][0][1])
+                aligned = [(t, p0 @ p) for t, p in gts_cmp[idx]]
+            sets.append(aligned)
+        gt_poses_graphs(
+            sets, xy_plot=xy_plot,
+            labels=[f"GT Poses: {fname(gt_file)}"]
+            + [f"Cmp poses {i+1}: {fname(f)}"
+               for i, f in enumerate(gt_file_cmp)])
+
+
+# ------------------------------------------------------------------ flyby
+
+@ptudes_cli.command(name="flyby")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-m", "--meta", type=click.Path(exists=True), default=None)
+@click.option("--kitti-poses", type=click.Path(exists=True), default=None)
+@click.option("--nc-gt-poses", type=click.Path(exists=True), default=None)
+@click.option("--start-scan", type=int, default=0)
+@click.option("--end-scan", type=int, default=None)
+@click.option("-o", "--out-ply", type=click.Path(), default="flyby_map.ply")
+@click.option("--camera-json", type=click.Path(), default=None,
+              help="Export the flyby camera program as JSON")
+@click.option("--map-points", type=int, default=1_500_000)
+def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
+              out_ply, camera_json, map_points):
+    """Build the registered map + cinematic camera program (reference
+    ``ptudes flyby``, ``src/ptudes/cli/flyby.py``; rendering is delegated
+    to external viewers via PLY + camera JSON)."""
+    import jax.numpy as jnp
+    from ..io.poses import load_poses_kitti_format, read_newer_college_gt
+    from ..ops.projection import scan_to_points
+    from ..utils.trajectory import poses_for_scans
+    from ..viz.cloud import AccumCloud, save_ply
+    from ..viz.fly import Flyby
+
+    info, scans, imu, _ = _load_source(file, meta)
+    scans = scans.window(start_scan, end_scan)
+    lut = _nav_frame_lut(info)
+    range_unit = info.range_unit_m()
+
+    if kitti_poses:
+        poses = load_poses_kitti_format(kitti_poses)[:len(scans)]
+        valid = np.ones(len(poses), bool)
+    elif nc_gt_poses:
+        gts = read_newer_college_gt(nc_gt_poses)
+        gp0 = np.linalg.inv(gts[0][1])
+        gts = [(t, gp0 @ p) for t, p in gts]  # origin shift (flyby.py:96-100)
+        poses, valid = poses_for_scans(scans.ts, gts, time_bounds=1.5)
+    else:
+        raise click.ClickException(
+            "Provide --kitti-poses or --nc-gt-poses (or run ekf-bench "
+            "ouster --save-kitti-poses first)")
+
+    cloud = AccumCloud(max_points=map_points)
+    for i in range(len(scans)):
+        if not valid[i]:
+            continue
+        pts, mask, _ = scan_to_points(
+            lut, jnp.asarray(scans.range_mm[i].astype(np.float32)
+                             * range_unit))
+        p = np.asarray(pts)[np.asarray(mask)]
+        pw = p @ poses[i][:3, :3].T + poses[i][:3, 3]
+        cloud.add(pw[::4])
+    save_ply(out_ply, cloud.points)
+    print(f"map: {len(cloud)} points -> {out_ply}")
+
+    traj = [(scans.ts[i], poses[i]) for i in range(len(scans)) if valid[i]]
+    bbox = np.stack([cloud.points.min(0), cloud.points.max(0)], axis=1)
+    fly = Flyby(traj=traj, bbox=bbox)
+    print(f"flyby duration: {fly.total_duration:.1f} s")
+    if camera_json:
+        import json
+        prog = []
+        for t in np.arange(0, fly.total_duration, 1 / 30):
+            cam = fly.camera_at(float(t))
+            prog.append({"t": float(t), "target": cam.target.tolist(),
+                         "pitch": cam.pitch, "yaw": cam.yaw,
+                         "dolly": cam.dolly})
+        with open(camera_json, "w") as f:
+            json.dump(prog, f)
+        print(f"camera program ({len(prog)} keyframes) -> {camera_json}")
+
+
+# -------------------------------------------------------------------- viz
+
+@ptudes_cli.command(name="viz")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-m", "--meta", type=click.Path(exists=True), default=None)
+@click.option("--scan", "scan_idx", type=int, default=0)
+@click.option("-o", "--out-png", type=click.Path(), default=None)
+def cmd_viz(file, meta, scan_idx, out_png):
+    """Raw scan viewer: destaggered range image as a matplotlib figure
+    (reference ``ptudes viz`` uses the OpenGL SimpleViz,
+    ``src/ptudes/cli/viz.py``)."""
+    import jax.numpy as jnp
+    import matplotlib
+    if out_png:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ..ops.projection import destagger
+
+    info, scans, imu, _ = _load_source(file, meta)
+    print(f"scans: {len(scans)}, imus: {len(imu)}, "
+          f"sensor: {info.prod_line} {info.mode}")
+    if not len(scans):
+        return
+    img = destagger(
+        jnp.asarray(scans.range_mm[scan_idx].astype(np.float32)),
+        jnp.asarray(np.asarray(info.pixel_shift_by_row)))
+    plt.figure(figsize=(16, 4))
+    plt.imshow(np.asarray(img), cmap="viridis", aspect="auto")
+    plt.colorbar(label="range (mm)")
+    plt.title(f"scan {scan_idx}")
+    if out_png:
+        plt.savefig(out_png, dpi=120, bbox_inches="tight")
+        print(f"saved {out_png}")
+    else:
+        plt.show()
+
+
+def main():
+    ptudes_cli()
+
+
+if __name__ == "__main__":
+    main()

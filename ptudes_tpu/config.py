@@ -43,6 +43,9 @@ class KissConfig:
     # bounds sampling-noise random walk of the GN on self-similar geometry
     prior_rot_weight: float = 0.01
     prior_trans_weight: float = 0.01
+    # NN search neighborhood: 27 (full cube, kiss parity) or 7 (center +
+    # faces; ~4x fewer gather rows, negligible quality impact for ICP)
+    nn_neighborhood: int = 27
 
     @property
     def resolved_voxel_size(self) -> float:
@@ -61,7 +64,7 @@ class Capacity:
     max_frame: int = 32768        # downsampled frame (map insert) capacity
     max_source: int = 8192        # ICP source capacity
     map_capacity: int = 1 << 19   # voxel hash slots (power of two)
-    max_probes: int = 4           # open-addressing probe length (keep load factor low)
+    max_probes: int = 2           # open-addressing probe length (keep load factor low)
     dedup_table: int = 1 << 20    # scratch table for voxel downsample
 
 

@@ -237,6 +237,51 @@ def masked_update(old: EkfState, new: EkfState, apply: jax.Array) -> EkfState:
     return jax.tree.map(lambda a, b: jnp.where(apply, b, a), old, new)
 
 
+class FilterLog(NamedTuple):
+    """Per-IMU-step filter history (the reference's ``_logging=True``
+    recordings, ``src/ptudes/ins/es_ekf.py:171-179,331-365``) as stacked
+    arrays instead of python lists."""
+    ts: jax.Array         # [T]
+    pos: jax.Array        # [T, 3]
+    vel: jax.Array        # [T, 3]
+    att_q: jax.Array      # [T, 4]
+    bias_gyr: jax.Array   # [T, 3]
+    bias_acc: jax.Array   # [T, 3]
+    grav: jax.Array       # [T, 3]
+    cov_diag: jax.Array   # [T, 18]
+    updated: jax.Array    # [T] bool — pose correction applied at this step
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_filter(
+    s: EkfState,
+    imus: Imu,             # stacked [T]
+    corr_mask: jax.Array,  # [T] bool — apply pose correction after step t
+    corr_poses: jax.Array,  # [T, 4, 4]
+    *,
+    cfg: EkfConfig,
+    meas_cov: jax.Array | None = None,
+) -> tuple[EkfState, FilterLog]:
+    """IMU-rate filter run under lax.scan with optional pose corrections —
+    the engine behind `ekf-bench sim` and `ekf-bench nc`
+    (reference ``src/ptudes/cli/ekf_bench.py:135-149,271-297``)."""
+
+    def step(state, inp):
+        imu, do_corr, pose = inp
+        state = process_imu(state, imu, cfg=cfg)
+        corrected = process_pose(state, pose, cfg=cfg, meas_cov=meas_cov)
+        state = masked_update(state, corrected, do_corr)
+        log = FilterLog(
+            ts=imu.ts, pos=state.pos, vel=state.vel, att_q=state.quat,
+            bias_gyr=state.bias_gyr, bias_acc=state.bias_acc,
+            grav=state.grav, cov_diag=jnp.diag(state.cov),
+            updated=do_corr,
+        )
+        return state, log
+
+    return jax.lax.scan(step, s, (imus, corr_mask, corr_poses))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def process_imu_batch(
     s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig

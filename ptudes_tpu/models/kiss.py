@@ -150,6 +150,7 @@ def register_scan(
         plane_min_quality=cfg.plane_min_quality,
         prior_rot_weight=cfg.prior_rot_weight,
         prior_trans_weight=cfg.prior_trans_weight,
+        neighborhood=cfg.nn_neighborhood,
     )
     new_pose = res.pose
 

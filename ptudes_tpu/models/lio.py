@@ -54,9 +54,14 @@ class ScanBatch(NamedTuple):
 
 
 class LioOut(NamedTuple):
-    kiss_pose: jax.Array  # [4, 4]
-    ekf_pose: jax.Array   # [4, 4]
+    kiss_pose: jax.Array   # [4, 4]
+    ekf_pose: jax.Array    # [4, 4]
     scan_valid: jax.Array  # bool — False for skipped scans (no IMUs)
+    ekf_vel: jax.Array     # [3]
+    ekf_bias_gyr: jax.Array  # [3]
+    ekf_bias_acc: jax.Array  # [3]
+    ekf_grav: jax.Array    # [3]
+    ekf_cov_diag: jax.Array  # [18]
     aux: KissAux
 
 
@@ -109,6 +114,11 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
             kiss_pose=pose,
             ekf_pose=esekf.pose_mat(out_state.ekf),
             scan_valid=has_imu,
+            ekf_vel=out_state.ekf.vel,
+            ekf_bias_gyr=out_state.ekf.bias_gyr,
+            ekf_bias_acc=out_state.ekf.bias_acc,
+            ekf_grav=out_state.ekf.grav,
+            ekf_cov_diag=jnp.diag(out_state.ekf.cov),
             aux=aux,
         )
         return out_state, out

@@ -5,26 +5,25 @@ sites ``src/ptudes/kiss.py:108-114,129,161``): a persistent local map that
 supports
 
 * ``insert``  — scatter up to ``max_points_per_voxel`` points per voxel,
-* ``query``   — nearest neighbor over the 27-voxel neighborhood,
+* ``query``   — nearest neighbor over the 27- (or 7-) voxel neighborhood,
 * ``remove_far`` — distance-based eviction around the current origin,
 
 all with static shapes, pure-functional updates, and only scatter/gather
 primitives, so the whole structure lives in the ``lax.scan`` carry of the
 odometry loop (SURVEY.md section 7, stage 4).
 
-Layout — designed around TPU gather cost (bytes touched per query point):
+Layout — designed around TPU gather cost, which is dominated by the NUMBER
+of gathered rows, not bytes: all per-slot metadata lives in ONE packed row
 
-    fps    [C]       int32 — 32-bit key fingerprint (0 = free slot)
-    counts [C]       int32 — valid points in slot
-    reps   [C, 3]    f32   — representative (first) point of the voxel
-    points [C, P, 3] f32   — stored points
+    meta   [C, 8] int32 — [fingerprint, count, rep_x, rep_y, rep_z]
+                          (rep = first point, f32 bitcast; fp 0 = free)
+    points [C, P, 3] f32 — stored points
 
-A query probes fingerprints (4 B/slot), ranks the 27 neighbor voxels by
-representative-point distance (12 B/voxel), and gathers the full point list
-only for the best voxel (``approx=True``, the default — the NN can differ
-from exact when the nearest point hides in a voxel whose representative is
-not the closest; sub-voxel-size error, irrelevant for robust ICP) or for
-all found voxels (``approx=False``, exact, used by tests). Fingerprint
+so a query fetches fingerprint + count + representative point with a
+single row gather per (neighbor, probe). The NN search then ranks the
+neighborhood by representative distance and gathers the full point list
+only for the two best candidates (``approx=True``, default) or for all
+found voxels (``approx=False``, exact, used by tests). Fingerprint
 aliasing (two voxel keys, same 32-bit fingerprint AND same slot) has
 probability ~2^-32 per probe and at worst injects one wrong NN candidate.
 
@@ -35,9 +34,10 @@ the winner's slot in the same round's post-claim check. Because lookup
 precedes claiming and both insert and query scan the whole chain, eviction
 (slots reset free) never creates duplicate or unreachable entries.
 
-Keep the load factor low (capacity >= ~8x expected voxels) so short probe
-chains (default 4) cover effectively all collisions; a key that cannot be
-resolved within the chain is dropped (insert) or reported not-found (query).
+Keep the load factor low (capacity >= ~8x expected voxels) so the default
+2-probe chains cover effectively all collisions; a key that cannot be
+resolved within the chain is dropped (insert) or reported not-found
+(query).
 """
 from __future__ import annotations
 
@@ -52,7 +52,9 @@ from .voxel import voxel_coords
 
 _INT_MAX = jnp.int32(2**31 - 1)
 
-# 27-neighborhood offsets (static), center voxel first
+# neighborhood offsets sorted by L1 norm: [0] = center, [1:7] = faces,
+# [7:19] = edges, [19:27] = corners — so slicing [:7] gives the face
+# neighborhood and [:27] the full one
 _NEIGHBOR_OFFSETS = np.array(
     sorted(
         [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
@@ -61,12 +63,25 @@ _NEIGHBOR_OFFSETS = np.array(
     dtype=np.int32,
 )
 
+META_W = 8  # padded row width (32 B, lane-friendly)
+
 
 class VoxelHashMap(NamedTuple):
-    fps: jax.Array     # [C] int32, 0 = free
-    counts: jax.Array  # [C] int32
-    reps: jax.Array    # [C, 3] f32
+    meta: jax.Array    # [C, 8] int32 packed per-slot metadata
     points: jax.Array  # [C, P, 3] f32
+
+    # --- decoded views (cheap, fused by XLA) ---
+    @property
+    def fps(self) -> jax.Array:
+        return self.meta[:, 0]
+
+    @property
+    def counts(self) -> jax.Array:
+        return self.meta[:, 1]
+
+    @property
+    def reps(self) -> jax.Array:
+        return jax.lax.bitcast_convert_type(self.meta[:, 2:5], jnp.float32)
 
 
 def _mix(h: jax.Array) -> jax.Array:
@@ -80,8 +95,8 @@ def _mix(h: jax.Array) -> jax.Array:
 def _fingerprint_and_slot(
     coords: jax.Array, capacity: int
 ) -> tuple[jax.Array, jax.Array]:
-    """64 bits of mixed hash per voxel coord: high 32 -> fingerprint
-    (never 0), low bits -> home slot."""
+    """64 bits of mixed hash per voxel coord: one 32-bit word -> fingerprint
+    (never 0), another -> home slot."""
     c = coords.astype(jnp.uint32)
     h1 = _mix(c[..., 0] * jnp.uint32(73856093)) \
         ^ (_mix(c[..., 1] * jnp.uint32(19349669)) * jnp.uint32(0x9E3779B9)) \
@@ -95,9 +110,7 @@ def _fingerprint_and_slot(
 def create(capacity: int, max_points_per_voxel: int) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelHashMap(
-        fps=jnp.zeros((capacity,), jnp.int32),
-        counts=jnp.zeros((capacity,), jnp.int32),
-        reps=jnp.zeros((capacity, 3), jnp.float32),
+        meta=jnp.zeros((capacity, META_W), jnp.int32),
         points=jnp.zeros((capacity, max_points_per_voxel, 3), jnp.float32),
     )
 
@@ -121,11 +134,11 @@ def insert(
     mask: jax.Array,         # [N] bool
     *,
     voxel_size: float,
-    max_probes: int = 4,
+    max_probes: int = 2,
 ) -> VoxelHashMap:
     """Insert masked points (kiss ``VoxelHashMap::AddPoints`` semantics:
     append until the voxel holds ``max_points_per_voxel`` points)."""
-    cap = m.fps.shape[0]
+    cap = m.meta.shape[0]
     ppv = m.points.shape[1]
     n = pts.shape[0]
 
@@ -133,7 +146,7 @@ def insert(
     fp, h0 = _fingerprint_and_slot(coords, cap)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    fps = m.fps
+    fps = m.meta[:, 0]
     slot = jnp.full((n,), cap, jnp.int32)                    # cap = "dropped"
     resolved = ~mask
 
@@ -171,7 +184,7 @@ def insert(
     run_start = jax.lax.associative_scan(jnp.maximum, run_start)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(pos - run_start)
 
-    base = m.counts.at[slot].get(mode="fill", fill_value=0)
+    base = m.meta.at[slot, 1].get(mode="fill", fill_value=0)
     write_pos = base + rank
     accept = resolved & (write_pos < ppv)
 
@@ -179,11 +192,13 @@ def insert(
     points = m.points.at[tgt_slot, jnp.where(accept, write_pos, 0)].set(
         pts, mode="drop"
     )
-    counts = m.counts.at[tgt_slot].add(accept.astype(jnp.int32), mode="drop")
-    # representative = first point stored in the slot
+    meta = m.meta.at[:, 0].set(fps)
+    meta = meta.at[tgt_slot, 1].add(accept.astype(jnp.int32), mode="drop")
+    # representative = first point stored in the slot (f32 bitcast)
     rep_tgt = jnp.where(accept & (write_pos == 0), slot, cap)
-    reps = m.reps.at[rep_tgt].set(pts, mode="drop")
-    return VoxelHashMap(fps=fps, counts=counts, reps=reps, points=points)
+    pts_i32 = jax.lax.bitcast_convert_type(pts, jnp.int32)
+    meta = meta.at[rep_tgt, 2:5].set(pts_i32, mode="drop")
+    return VoxelHashMap(meta=meta, points=points)
 
 
 class QueryResult(NamedTuple):
@@ -194,43 +209,56 @@ class QueryResult(NamedTuple):
 
 
 @partial(
-    jax.jit, static_argnames=("voxel_size", "max_probes", "approx")
+    jax.jit,
+    static_argnames=("voxel_size", "max_probes", "approx", "neighborhood"),
 )
 def query(
     m: VoxelHashMap,
     q: jax.Array,            # [M, 3]
     *,
     voxel_size: float,
-    max_probes: int = 4,
+    max_probes: int = 2,
     approx: bool = True,
+    neighborhood: int = 27,
 ) -> QueryResult:
-    """Nearest stored neighbor of each query point over 27 adjacent voxels
-    (kiss-icp ``GetClosestNeighbor`` semantics).
+    """Nearest stored neighbor of each query point over adjacent voxels
+    (kiss-icp ``GetClosestNeighbor`` semantics; ``neighborhood`` = 27 for
+    the full cube, 7 for center+faces — ~4x fewer gather rows, misses NNs
+    that sit across an edge/corner, which robust ICP tolerates).
 
     Also reports the winning voxel's slot so callers can fetch the voxel's
     full point list (e.g. for point-to-plane normal fits) without a second
     search.
     """
-    cap = m.fps.shape[0]
+    assert neighborhood in (7, 27)
+    cap = m.meta.shape[0]
     ppv = m.points.shape[1]
     mnum = q.shape[0]
 
     qc = voxel_coords(q, voxel_size)                          # [M, 3]
-    offsets = jnp.asarray(_NEIGHBOR_OFFSETS)                  # [27, 3]
-    keys27 = qc[:, None, :] + offsets[None, :, :]             # [M, 27, 3]
-    fp, h0 = _fingerprint_and_slot(keys27, cap)               # [M, 27]
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS[:neighborhood])   # [J, 3]
+    keys = qc[:, None, :] + offsets[None, :, :]               # [M, J, 3]
+    fp, h0 = _fingerprint_and_slot(keys, cap)                 # [M, J]
 
-    found_slot = jnp.full((mnum, 27), cap, jnp.int32)
-    found = jnp.zeros((mnum, 27), bool)
+    found_slot = jnp.full((mnum, neighborhood), cap, jnp.int32)
+    found = jnp.zeros((mnum, neighborhood), bool)
+    cnt = jnp.zeros((mnum, neighborhood), jnp.int32)
+    rep = jnp.zeros((mnum, neighborhood, 3), jnp.float32)
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
-        match = (m.fps[s] == fp) & ~found
+        rows = m.meta.at[s].get(mode="fill", fill_value=0)    # [M, J, 8]
+        match = (rows[..., 0] == fp) & ~found
         found_slot = jnp.where(match, s, found_slot)
+        cnt = jnp.where(match, rows[..., 1], cnt)
+        rep = jnp.where(
+            match[..., None],
+            jax.lax.bitcast_convert_type(rows[..., 2:5], jnp.float32),
+            rep,
+        )
         found = found | match
 
     # stage 1: rank neighbor voxels by representative-point distance
-    reps = m.reps.at[found_slot].get(mode="fill", fill_value=jnp.inf)
-    rep_d2 = jnp.sum((reps - q[:, None, :]) ** 2, axis=-1)    # [M, 27]
+    rep_d2 = jnp.sum((rep - q[:, None, :]) ** 2, axis=-1)     # [M, J]
     rep_d2 = jnp.where(found, rep_d2, jnp.inf)
 
     if approx:
@@ -249,10 +277,10 @@ def query(
         win_slot = jnp.full((mnum,), cap, jnp.int32)
         for sl, ok in ((best_slot, best_ok), (center_slot, center_ok)):
             vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
-            cnt = m.counts.at[sl].get(mode="fill", fill_value=0)
+            c = m.meta.at[sl, 1].get(mode="fill", fill_value=0)
             d2 = jnp.sum((vox_pts - q[:, None, :]) ** 2, axis=-1)
             valid = (jnp.arange(ppv, dtype=jnp.int32)[None, :]
-                     < cnt[:, None]) & ok[:, None]
+                     < c[:, None]) & ok[:, None]
             d2 = jnp.where(valid, d2, jnp.inf)
             k = jnp.argmin(d2, axis=-1)
             dmin = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
@@ -268,17 +296,16 @@ def query(
         return QueryResult(
             jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok, win_slot)
 
-    # exact: running min over all 27 neighbors' full point lists
+    # exact: running min over all neighbors' full point lists
     best_d2 = jnp.full((mnum,), jnp.inf, jnp.float32)
     best_nn = jnp.zeros((mnum, 3), jnp.float32)
     win_slot = jnp.full((mnum,), cap, jnp.int32)
-    for j in range(27):
+    for j in range(neighborhood):
         sl = found_slot[:, j]
         vox_pts = m.points.at[sl].get(mode="fill", fill_value=jnp.inf)
-        cnt = m.counts.at[sl].get(mode="fill", fill_value=0)
         d2 = jnp.sum((vox_pts - q[:, None, :]) ** 2, axis=-1)
-        valid = (jnp.arange(ppv, dtype=jnp.int32)[None, :] < cnt[:, None]) \
-            & found[:, j:j + 1]
+        valid = (jnp.arange(ppv, dtype=jnp.int32)[None, :]
+                 < cnt[:, j:j + 1]) & found[:, j:j + 1]
         d2 = jnp.where(valid, d2, jnp.inf)
         k = jnp.argmin(d2, axis=-1)
         dmin = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
@@ -304,9 +331,7 @@ def remove_far(
     occupied = m.counts > 0
     d2 = jnp.sum((m.reps - origin[None, :]) ** 2, axis=-1)
     evict = occupied & (d2 > max_range2)
-    return VoxelHashMap(
-        fps=jnp.where(evict, 0, m.fps),
-        counts=jnp.where(evict, 0, m.counts),
-        reps=m.reps,
-        points=m.points,
-    )
+    # zero fp (col 0) and count (col 1); reps/points become dead storage
+    keep_cols = jnp.asarray([0, 0, 1, 1, 1, 1, 1, 1], jnp.int32)[None, :]
+    meta = jnp.where(evict[:, None], m.meta * keep_cols, m.meta)
+    return VoxelHashMap(meta=meta, points=m.points)

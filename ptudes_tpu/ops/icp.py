@@ -52,6 +52,7 @@ class IcpResult(NamedTuple):
     static_argnames=(
         "voxel_size", "max_probes", "max_iterations", "approx", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
+        "neighborhood",
     ),
 )
 def register_frame(
@@ -71,6 +72,7 @@ def register_frame(
     plane_min_quality: float = 0.2,
     prior_rot_weight: float = 0.0,
     prior_trans_weight: float = 0.0,
+    neighborhood: int = 27,
 ) -> IcpResult:
     """Run fixed-iteration robust GN ICP; returns the refined world pose.
 
@@ -89,13 +91,13 @@ def register_frame(
     eye3 = jnp.eye(3, dtype=jnp.float32)
     guess_inv = se3.inv(initial_guess.astype(jnp.float32))
 
-    def body(_, carry):
+    def body(carry):
         t_cur, converged, n_corr, iters = carry
 
         pts_w = se3.transform(t_cur, source)
         res = hashmap.query(
             vmap_, pts_w, voxel_size=voxel_size, max_probes=max_probes,
-            approx=approx,
+            approx=approx, neighborhood=neighborhood,
         )
         corr = source_mask & res.found & (res.d2 <= max_d2)
         r_vec = pts_w - res.nn                               # [N, 3]
@@ -103,7 +105,7 @@ def register_frame(
         if loss == "plane":
             vox_pts = vmap_.points.at[res.slot].get(
                 mode="fill", fill_value=0.0)                 # [N, P, 3]
-            cnt = vmap_.counts.at[res.slot].get(mode="fill", fill_value=0)
+            cnt = vmap_.meta.at[res.slot, 1].get(mode="fill", fill_value=0)
             normal, centroid, quality = voxel_plane(vox_pts, cnt)
             use_plane = corr & (quality >= plane_min_quality)
             s = jnp.sum(normal * (pts_w - centroid), axis=-1)  # [N]
@@ -159,13 +161,17 @@ def register_frame(
             iters,
         )
 
+    def cond(carry):
+        _, converged, _, iters = carry
+        return jnp.logical_and(~converged, iters < max_iterations)
+
     init = (
         initial_guess.astype(jnp.float32),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    t_final, _, n_corr, iters = jax.lax.fori_loop(
-        0, max_iterations, body, init
-    )
+    # while_loop exits as soon as the convergence mask latches — on
+    # typical scans that is 5-15 iterations instead of the worst case
+    t_final, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
     return IcpResult(pose=t_final, num_corr=n_corr, iterations=iters)

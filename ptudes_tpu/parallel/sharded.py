@@ -1,0 +1,204 @@
+"""Point-sharded LIO step over a device mesh (shard_map + psum).
+
+The BASELINE north-star mapping: within one sequence, the ICP source
+points are sharded across the ``pt`` mesh axis. Each device searches its
+replicated local-map copy for its point shard and accumulates partial
+Gauss-Newton normal equations; one ``psum`` of (JTJ [6,6], JTr [6], counts)
+per iteration rides the ICI — bytes per collective ~200, so scaling is
+compute-bound. The map update all-gathers the (already downsampled) frame
+so every replica inserts identical points and stays bitwise in sync.
+
+Combined with the ``bag`` axis (pure DP over sequences), this is the
+framework's tp x dp analog: ``mesh = (bag, pt)``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import PipelineConfig
+from ..geom import se3, so3
+from ..ops import hashmap, voxel
+from ..ops import deskew as deskew_ops
+from ..ops.plane import voxel_plane
+from ..ops.projection import XyzLut, scan_to_points
+from . import mesh as mesh_lib
+from ..models import esekf, kiss, lio
+
+
+def _gn_partial(pts_w, nn, d2, found, mask, kernel, max_d2,
+                vmap_, slot, loss, plane_min_quality):
+    """Per-shard GN normal equations (same math as ops.icp body)."""
+    n = pts_w.shape[0]
+    corr = mask & found & (d2 <= max_d2)
+    r_vec = pts_w - nn
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    if loss == "plane":
+        vox_pts = vmap_.points.at[slot].get(mode="fill", fill_value=0.0)
+        cnt = vmap_.meta.at[slot, 1].get(mode="fill", fill_value=0)
+        normal, centroid, quality = voxel_plane(vox_pts, cnt)
+        use_plane = corr & (quality >= plane_min_quality)
+        s = jnp.sum(normal * (pts_w - centroid), axis=-1)
+        w_pl = jnp.where(
+            use_plane, (kernel * kernel) / jnp.square(kernel + s * s), 0.0)
+        row = jnp.concatenate([jnp.cross(pts_w, normal), normal], axis=-1)
+        jtj_pl = jnp.einsum("ni,nj->ij", row * w_pl[:, None], row)
+        jtr_pl = jnp.einsum("ni,n->i", row * w_pl[:, None], s)
+        use_point = corr & ~use_plane
+    else:
+        jtj_pl = jnp.zeros((6, 6), jnp.float32)
+        jtr_pl = jnp.zeros((6,), jnp.float32)
+        use_point = corr
+    w_pt = jnp.where(
+        use_point, (kernel * kernel) / jnp.square(kernel + d2), 0.0)
+    hat_p = so3.hat(pts_w)
+    j = jnp.concatenate([-hat_p, jnp.broadcast_to(eye3, (n, 3, 3))], -1)
+    jw = j * w_pt[:, None, None]
+    jtj = jnp.einsum("nij,nik->jk", jw, j) + jtj_pl
+    jtr = jnp.einsum("nij,ni->j", jw, r_vec) + jtr_pl
+    return jtj, jtr, jnp.sum(corr)
+
+
+def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
+    """Build a scan_step where ICP points are sharded over mesh axis 'pt'.
+
+    State is replicated over 'pt' (identical on all devices of a bag row);
+    the ScanBatch's flattened point arrays are sharded on their leading
+    axis. Use with shard_map(in_specs=..., out_specs=...) — see
+    ``sharded_scan_step_fn``.
+    """
+    kcfg, cap = cfg.kiss, cfg.cap
+    vs = kcfg.resolved_voxel_size
+
+    def step(state: lio.LioState, batch: lio.ScanBatch):
+        # --- replicated: EKF predict over the IMU block
+        ekf1 = esekf.process_imu_batch(
+            state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
+
+        # --- replicated projection (cheap) then shard points
+        pts, mask, ts01 = scan_to_points(lut, batch.range_m)
+        npt = pts.shape[0]
+        ndev = jax.lax.axis_size("pt")
+        idx = jax.lax.axis_index("pt")
+        shard = npt // ndev
+        pts = jax.lax.dynamic_slice_in_dim(pts, idx * shard, shard)
+        mask = jax.lax.dynamic_slice_in_dim(mask, idx * shard, shard)
+        ts01 = jax.lax.dynamic_slice_in_dim(ts01, idx * shard, shard)
+
+        kstate = state.kiss
+        if kcfg.deskew:
+            pts = deskew_ops.deskew_scan(
+                pts, ts01, kstate.pose_prev, kstate.pose,
+                enabled=kstate.num_scans >= 2)
+        mask = voxel.range_clip_mask(pts, mask, kcfg.min_range, kcfg.max_range)
+
+        # local voxel dedup per shard (slight over-sampling across shard
+        # boundaries only changes the downsample marginally)
+        keep_frame = voxel.first_in_voxel_mask(
+            pts, mask, vs * 0.5, cap.dedup_table)
+        frame_ds, frame_mask = voxel.compact(
+            pts, keep_frame, cap.max_frame // ndev)
+        keep_src = voxel.first_in_voxel_mask(
+            pts, keep_frame, vs * 1.5, cap.dedup_table)
+        source, source_mask = voxel.compact(
+            pts, keep_src, cap.max_source // ndev)
+
+        sigma = kiss.get_adaptive_threshold(kstate, kcfg)
+        if cfg.guess == "ekf":
+            guess = esekf.pose_mat(ekf1)
+        elif cfg.guess == "gt":
+            guess = batch.guess_pose
+        else:
+            guess = kstate.pose @ kiss.prediction_model(kstate)
+        kernel = sigma / 3.0
+        max_d2 = jnp.square(3.0 * sigma)
+
+        def body(_, carry):
+            t_cur, converged = carry
+            pts_w = se3.transform(t_cur, source)
+            q = hashmap.query(
+                kstate.local_map, pts_w, voxel_size=vs,
+                max_probes=cap.max_probes, approx=kcfg.approx_nn,
+                neighborhood=kcfg.nn_neighborhood)
+            jtj, jtr, _ = _gn_partial(
+                pts_w, q.nn, q.d2, q.found, source_mask, kernel, max_d2,
+                kstate.local_map, q.slot, kcfg.loss, kcfg.plane_min_quality)
+            # the one hot-loop collective: reduce the 6x6 system over ICI
+            jtj = jax.lax.psum(jtj, "pt")
+            jtr = jax.lax.psum(jtr, "pt")
+            jtj = jtj + 1e-8 * jnp.eye(6, dtype=jnp.float32)
+            dx = jnp.linalg.solve(jtj, -jtr)
+            dx = jnp.where(converged, 0.0, dx)
+            t_new = se3.exp_twist(dx) @ t_cur
+            return t_new, converged | (
+                jnp.linalg.norm(dx) < kcfg.convergence_criterion)
+
+        new_pose, _ = jax.lax.fori_loop(
+            0, kcfg.max_iterations, body,
+            (guess.astype(jnp.float32), jnp.asarray(False)))
+
+        # adaptive threshold bookkeeping (replicated math)
+        dev = se3.inv(guess) @ new_pose
+        err = kiss._model_error(dev, kcfg.max_range)
+        accum = err > kcfg.min_motion_th
+
+        # map update: all-gather the frame so replicas insert identically
+        frame_w = se3.transform(new_pose, frame_ds)
+        frame_all = jax.lax.all_gather(
+            frame_w, "pt", axis=0, tiled=True)
+        fmask_all = jax.lax.all_gather(
+            frame_mask, "pt", axis=0, tiled=True)
+        local_map = hashmap.insert(
+            kstate.local_map, frame_all, fmask_all,
+            voxel_size=vs, max_probes=cap.max_probes)
+        local_map = hashmap.remove_far(
+            local_map, se3.trans(new_pose),
+            jnp.asarray(kcfg.max_range**2, jnp.float32))
+
+        kiss1 = kiss.KissState(
+            local_map=local_map, pose=new_pose, pose_prev=kstate.pose,
+            model_sse=kstate.model_sse + jnp.where(accum, err * err, 0.0),
+            num_samples=kstate.num_samples + accum.astype(jnp.int32),
+            num_scans=kstate.num_scans + 1)
+
+        ekf2 = esekf.process_pose(ekf1, new_pose, cfg=cfg.ekf)
+
+        has_imu = jnp.any(batch.imu_valid)
+        new_state = lio.LioState(kiss=kiss1, ekf=ekf2)
+        frozen = lio.LioState(kiss=kstate, ekf=ekf1)
+        out_state = jax.tree.map(
+            lambda a, b: jnp.where(has_imu, a, b), new_state, frozen)
+        return out_state, (new_pose, esekf.pose_mat(out_state.ekf))
+
+    return step
+
+
+def sharded_run_sequence(
+    state: lio.LioState,
+    batches: lio.ScanBatch,
+    lut: XyzLut,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+):
+    """lax.scan of the point-sharded step, wrapped in shard_map.
+
+    State and batches are replicated over both mesh axes here (single-bag
+    form); the point sharding happens inside the step via axis_index
+    slicing, and outputs are identical on all devices.
+    """
+    step = make_sharded_scan_step(lut, cfg, mesh)
+
+    def run(state, batches):
+        return jax.lax.scan(step, state, batches)
+
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(fn)(state, batches)

@@ -136,7 +136,7 @@ def test_load_factor_contract():
     coords = np.stack(np.unravel_index(pts, (40, 40, 40)), -1).astype(np.float32)
     coords = coords + 0.5
 
-    m = hashmap.create(1 << 13, 4)  # 8192 slots, 24% load
+    m = hashmap.create(1 << 14, 4)  # 16384 slots, 12% load
     m = hashmap.insert(
         m, jnp.asarray(coords), jnp.ones(len(coords), bool), voxel_size=VS
     )

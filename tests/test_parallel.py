@@ -1,0 +1,97 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ptudes_tpu.config import Capacity, EkfConfig, KissConfig, PipelineConfig
+from ptudes_tpu.models import lio, sim
+from ptudes_tpu.parallel import mesh as mesh_lib
+from ptudes_tpu.parallel import replay, sharded
+
+N_SCANS = 8
+
+
+def make_cfg(guess="ekf"):
+    return PipelineConfig(
+        kiss=KissConfig(max_range=30.0, min_range=1.0,
+                        max_points_per_voxel=8, max_iterations=20,
+                        deskew=False, loss="point"),
+        cap=Capacity(max_points=32 * 256, max_frame=8192, max_source=4096,
+                     map_capacity=1 << 15, dedup_table=1 << 16),
+        ekf=EkfConfig(),
+        max_imu_per_scan=16,
+        guess=guess,
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_run():
+    ts, poses = sim.circle_trajectory(N_SCANS, radius=8.0, speed=2.0,
+                                      scan_dt=0.1)
+    world = sim.make_sim_world(seed=0, extent=25.0, n_boxes=40,
+                               keepout_points=poses[:, :3, 3])
+    sensor = sim.make_sim_sensor(h=32, w=256, fov_deg=45.0)
+    scans = np.stack([
+        sim.render_range_image(world, poses[i], sensor, max_range=60.0,
+                               noise_std=0.01, seed=i)
+        for i in range(N_SCANS)
+    ])
+    imu_ts = np.arange(1, N_SCANS * 10 + 1) * 0.01
+    imu = sim.imu_for_circle(imu_ts, radius=8.0, speed=2.0)
+    cfg = make_cfg()
+    batches = lio.build_batches(
+        cfg, scans, ts + 1e-9, np.asarray(imu.lacc), np.asarray(imu.avel),
+        imu_ts)
+    return sensor, cfg, batches, poses
+
+
+def test_mesh_construction():
+    m = mesh_lib.make_mesh(n_bags=2, n_pt=4)
+    assert m.shape == {"bag": 2, "pt": 4}
+    m2 = mesh_lib.make_mesh(n_bags=8)
+    assert m2.shape == {"bag": 8, "pt": 1}
+
+
+def test_replay_bags_on_mesh(sim_run):
+    sensor, cfg, batches, poses = sim_run
+    m = mesh_lib.make_mesh(n_bags=8, n_pt=1)
+    states = replay.stack_bags([lio.init_state(cfg)] * 8)
+    stacked = jax.tree.map(
+        lambda x: jnp.stack([x] * 8), batches)
+    fin, out = replay.replay_bags(states, stacked, sensor.lut, cfg, mesh=m)
+    assert out.kiss_pose.shape == (8, N_SCANS, 4, 4)
+    # all bags identical input -> identical output
+    kp = np.asarray(out.kiss_pose)
+    assert np.allclose(kp, kp[0:1], atol=1e-6)
+    # result actually sharded over bags
+    assert len(fin.ekf.pos.sharding.device_set) == 8
+
+
+def test_point_sharded_matches_single_device(sim_run):
+    """The psum-reduced point-sharded step must match the single-device
+    pipeline (identical math, different data layout)."""
+    sensor, cfg, batches, poses = sim_run
+    state = lio.init_state(cfg)
+    fin_ref, out_ref = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
+
+    m = mesh_lib.make_mesh(n_bags=1, n_pt=8)
+    fin_sh, (kiss_poses, ekf_poses) = sharded.sharded_run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg, m)
+
+    kp_ref = np.asarray(out_ref.kiss_pose)
+    kp_sh = np.asarray(kiss_poses)
+    # trajectories agree to registration noise (shard-local voxel dedup
+    # changes the downsample slightly, so not bitwise)
+    d = np.linalg.norm(kp_ref[:, :3, 3] - kp_sh[:, :3, 3], axis=1)
+    assert d.max() < 0.05, f"max divergence {d.max():.4f} m"
+    assert np.isfinite(np.asarray(ekf_poses)).all()
+
+
+def test_point_sharded_mixed_mesh(sim_run):
+    """2 bags x 4-way point sharding on the same 8 devices."""
+    sensor, cfg, batches, poses = sim_run
+    m = mesh_lib.make_mesh(n_bags=2, n_pt=4)
+    fin, (kiss_poses, ekf_poses) = sharded.sharded_run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg, m)
+    assert np.isfinite(np.asarray(kiss_poses)).all()
