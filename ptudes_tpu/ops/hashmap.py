@@ -184,7 +184,8 @@ def insert(
     run_start = jax.lax.associative_scan(jnp.maximum, run_start)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(pos - run_start)
 
-    base = m.meta.at[slot, 1].get(mode="fill", fill_value=0)
+    counts = m.meta[:, 1]
+    base = counts.at[slot].get(mode="fill", fill_value=0)
     write_pos = base + rank
     accept = resolved & (write_pos < ppv)
 
@@ -192,12 +193,14 @@ def insert(
     points = m.points.at[tgt_slot, jnp.where(accept, write_pos, 0)].set(
         pts, mode="drop"
     )
-    meta = m.meta.at[:, 0].set(fps)
-    meta = meta.at[tgt_slot, 1].add(accept.astype(jnp.int32), mode="drop")
-    # representative = first point stored in the slot (f32 bitcast)
+    # column-wise updates as flat 1D/row scatters (windowed scatters into
+    # [C, 8] columns are pathologically slow on TPU), then one row-stack
+    counts = counts.at[tgt_slot].add(accept.astype(jnp.int32), mode="drop")
     rep_tgt = jnp.where(accept & (write_pos == 0), slot, cap)
     pts_i32 = jax.lax.bitcast_convert_type(pts, jnp.int32)
-    meta = meta.at[rep_tgt, 2:5].set(pts_i32, mode="drop")
+    reps_i32 = m.meta[:, 2:5].at[rep_tgt].set(pts_i32, mode="drop")
+    meta = jnp.concatenate(
+        [fps[:, None], counts[:, None], reps_i32, m.meta[:, 5:]], axis=1)
     return VoxelHashMap(meta=meta, points=points)
 
 
