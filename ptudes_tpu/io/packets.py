@@ -41,6 +41,12 @@ _IMU_DTYPE = np.dtype([
 def parse_imu_packets(payloads: np.ndarray) -> dict[str, np.ndarray]:
     """[N, 48] uint8 -> dict of arrays. Units converted downstream
     (``Imu`` uses SI: reference ``src/ptudes/ins/data.py:24-26``)."""
+    from .. import native
+    out = native.parse_imu(payloads)
+    if out is not None:
+        out["accel_ts"] = out["sys_ts"]
+        out["gyro_ts"] = out["sys_ts"]
+        return out
     rec = payloads.reshape(-1).view(_IMU_DTYPE).reshape(payloads.shape[0])
     return {
         "sys_ts": rec["sys_ts"].copy(),
@@ -90,10 +96,25 @@ class ParsedColumns:
 
 
 def parse_lidar_packets(info: SensorInfo, payloads: np.ndarray) -> ParsedColumns:
-    """[N, packet_size] uint8 -> ParsedColumns (vectorized)."""
+    """[N, packet_size] uint8 -> ParsedColumns (native fast path when the
+    C++ runtime built; numpy-vectorized otherwise)."""
     prof = info.udp_profile_lidar
     h, cpp = info.h, info.columns_per_packet
     n = payloads.shape[0]
+
+    from .. import native
+    nat = native.parse_lidar(prof, payloads, h, cpp) if n else None
+    if nat is not None:
+        return ParsedColumns(
+            timestamp=nat["timestamp"],
+            measurement_id=nat["measurement_id"],
+            frame_id=nat["frame_id"],
+            status=nat["status"].astype(bool),
+            range_mm=nat["range_mm"],
+            reflectivity=nat["reflectivity"],
+            signal=nat["signal"],
+            nir=nat["nir"],
+        )
 
     if prof == PROFILE_LEGACY:
         block = 16 + h * 12 + 4
