@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -35,8 +36,11 @@ from ..geom import se3, so3
 STATE_RANK = 18
 POS, VEL, PHI, BG, BA, G = 0, 3, 6, 9, 12, 15
 
-DOWN = jnp.asarray([0.0, 0.0, -1.0])
-UP = jnp.asarray([0.0, 0.0, 1.0])
+# numpy (not jnp) on purpose: creating device arrays at import time would
+# initialize jax's default backend before callers can select a platform
+# (the multi-chip dryrun flips to a virtual CPU mesh after import).
+DOWN = np.asarray([0.0, 0.0, -1.0])
+UP = np.asarray([0.0, 0.0, 1.0])
 
 
 class EkfState(NamedTuple):

@@ -150,7 +150,19 @@ def build_batches(
     (first scan: everything up to its timestamp), padded/truncated to
     ``cfg.max_imu_per_scan`` — the reference streams them interleaved
     (``src/ptudes/data.py:49-77``); here they become a dense [N, K] block.
+
+    Timestamps are rebased to the sequence start in float64 on host before
+    the float32 cast: real captures carry epoch-scale clocks (~1.7e9 s)
+    where f32 resolution is ~128 s, which would collapse every IMU dt to 0.
     """
+    scan_ts = np.asarray(scan_ts, np.float64)
+    imu_ts = np.asarray(imu_ts, np.float64)
+    t0 = min(scan_ts[0] if len(scan_ts) else np.inf,
+             imu_ts[0] if len(imu_ts) else np.inf)
+    if not np.isfinite(t0):
+        t0 = 0.0
+    scan_ts = scan_ts - t0
+    imu_ts = imu_ts - t0
     n = len(scan_ts)
     k = cfg.max_imu_per_scan
     lacc = np.zeros((n, k, 3), np.float32)

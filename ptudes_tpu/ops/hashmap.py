@@ -50,7 +50,7 @@ import numpy as np
 
 from .voxel import voxel_coords
 
-_INT_MAX = jnp.int32(2**31 - 1)
+_INT_MAX = np.int32(2**31 - 1)  # numpy: no device-array creation at import
 
 # neighborhood offsets sorted by L1 norm: [0] = center, [1:7] = faces,
 # [7:19] = edges, [19:27] = corners — so slicing [:7] gives the face

@@ -19,12 +19,15 @@ Compaction to a fixed output capacity is a single cumsum+scatter (no sort).
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_H1 = jnp.uint32(73856093)
-_H2 = jnp.uint32(19349669)
-_H3 = jnp.uint32(83492791)
-_INT_MAX = jnp.int32(2**31 - 1)
+# numpy scalars: creating device arrays at import time would initialize
+# jax's default backend before callers can select a platform.
+_H1 = np.uint32(73856093)
+_H2 = np.uint32(19349669)
+_H3 = np.uint32(83492791)
+_INT_MAX = np.int32(2**31 - 1)
 
 
 def voxel_coords(pts: jax.Array, voxel_size: float) -> jax.Array:

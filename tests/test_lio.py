@@ -102,6 +102,28 @@ def test_scan_without_imu_is_skipped(sim_run):
     assert np.isfinite(np.asarray(out.ekf_pose)).all()
 
 
+def test_epoch_scale_timestamps(sim_run):
+    """Regression: real captures carry epoch clocks (~1.7e9 s) where f32
+    resolution is ~128 s. build_batches must rebase in f64 on host so the
+    trajectory is identical to the zero-based run."""
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    epoch = 1.7e9
+    fin0, out0 = run(cfg, sensor, ts, scans, imu, imu_ts)
+    batches = lio.build_batches(
+        cfg, scans, ts + 1e-9 + epoch, np.asarray(imu.lacc),
+        np.asarray(imu.avel), imu_ts + epoch)
+    fin1, out1 = lio.run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg=cfg)
+    # f64 epoch+t representation rounds at ~5e-7 s, which the filter
+    # amplifies to ~mm — anything beyond that means the f32 collapse is back
+    # (pre-fix this diverged by meters).
+    np.testing.assert_allclose(np.asarray(out1.kiss_pose),
+                               np.asarray(out0.kiss_pose), rtol=0, atol=0.01)
+    np.testing.assert_allclose(np.asarray(out1.ekf_pose),
+                               np.asarray(out0.ekf_pose), rtol=0, atol=0.01)
+
+
 def test_vmap_multibag(sim_run):
     """8-way-style batched replay (BASELINE config 5) — here 2 sequences
     on the virtual device mesh's host platform."""
