@@ -5,8 +5,11 @@ default KISS-style odometry + ES-EKF fusion — the reference's
 ``ptudes ekf-bench ouster --use-imu-prediction`` hot loop
 (``src/ptudes/cli/ekf_bench.py:493-563``). Real sensor recordings are not
 available in this environment, so scans come from the analytic raycast
-simulator at the same scale (exact ranges + 1 cm noise, rotosweep motion);
-the quality gate is ATE against the simulator's ground truth.
+simulator at the same scale (exact ranges + 1 cm noise, true rotosweep,
+platform starting at rest with a 1 s speed ramp — the physical profile of
+a real recording). Scan timestamps follow the reference's
+last_valid_column_ts convention (end of sweep); the quality gate is ATE
+RMSE against the simulator's exact mid-sweep poses (the deskew anchor).
 
 ``vs_baseline``: ratio against the f64 numpy/scipy KD-tree oracle of the
 same algorithm (tools/oracle_kiss.py) measured on this host's CPU — the
@@ -24,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SCANS = 50
 H, W = 128, 1024
-CACHE = f"/tmp/ptudes_bench_{N_SCANS}_{H}x{W}_v3.npz"
+SCAN_DT = 0.1
+RADIUS, SPEED, RAMP = 8.0, 2.0, 1.0
+CACHE = f"/tmp/ptudes_bench_{N_SCANS}_{H}x{W}_v4.npz"
 
 
 def make_data():
@@ -32,46 +37,55 @@ def make_data():
 
     if os.path.exists(CACHE):
         z = np.load(CACHE)
-        return z["scans"], z["ts"], z["poses"], z["imu_ts"]
+        return z["scans"], z["scan_ts"], z["gt_mid"], z["imu_ts"]
 
-    ts, poses = sim.circle_trajectory(N_SCANS + 1, radius=8.0, speed=2.0,
-                                      scan_dt=0.1)
+    ts = np.arange(N_SCANS + 1) * SCAN_DT
+    sweep = sim.circle_poses_at(ts, radius=RADIUS, speed=SPEED, ramp=RAMP)
     world = sim.make_sim_world(seed=0, extent=30.0, n_boxes=40,
-                               keepout_points=poses[:, :3, 3])
+                               keepout_points=sweep[:, :3, 3])
     sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
     scans = np.stack([
         sim.render_range_image(
-            world, poses[i], sensor, max_range=70.0, noise_std=0.01,
-            seed=i, end_pose=poses[i + 1])
+            world, sweep[i], sensor, max_range=70.0, noise_std=0.01,
+            seed=i, end_pose=sweep[i + 1])
         for i in range(N_SCANS)
     ])
-    imu_ts = np.arange(1, N_SCANS * 10 + 1) * 0.01
-    np.savez_compressed(CACHE, scans=scans, ts=ts[:N_SCANS],
-                        poses=poses[:N_SCANS], imu_ts=imu_ts)
-    return scans, ts[:N_SCANS], poses[:N_SCANS], imu_ts
+    scan_ts = ts[:N_SCANS] + SCAN_DT          # end-of-sweep timestamps
+    gt_mid = sim.circle_poses_at(ts[:N_SCANS] + SCAN_DT / 2,
+                                 radius=RADIUS, speed=SPEED, ramp=RAMP)
+    imu_ts = np.arange(1, N_SCANS * 10 + 2) * 0.01
+    np.savez_compressed(CACHE, scans=scans, scan_ts=scan_ts, gt_mid=gt_mid,
+                        imu_ts=imu_ts)
+    return scans, scan_ts, gt_mid, imu_ts
 
 
-def bench_tpu(scans, ts, poses, imu_ts):
-    import jax
-    import jax.numpy as jnp
+def bench_config():
     from ptudes_tpu.config import (Capacity, EkfConfig, KissConfig,
                                    PipelineConfig)
-    from ptudes_tpu.models import lio, sim
-
-    sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
-    imu = sim.imu_for_circle(imu_ts, radius=8.0, speed=2.0)
-    cfg = PipelineConfig(
+    return PipelineConfig(
         kiss=KissConfig(max_range=70.0, min_range=1.0,
-                        max_points_per_voxel=20, max_iterations=30,
-                        deskew=True, loss="plane"),
+                        max_points_per_voxel=16, max_iterations=30,
+                        deskew=True, loss="plane",
+                        voxel_size=0.3, plane_fit_radius=0.6,
+                        nn_mode="cached", nn_voxels=4),
         cap=Capacity(max_points=H * W, max_frame=32768, max_source=8192,
                      map_capacity=1 << 19, dedup_table=1 << 20),
         ekf=EkfConfig(),
         max_imu_per_scan=16,
         guess="ekf",
     )
+
+
+def bench_tpu(scans, scan_ts, gt_mid, imu_ts):
+    import jax
+    from ptudes_tpu.models import lio, sim
+    from ptudes_tpu.utils.metrics import calc_ate_rmse
+
+    sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
+    imu = sim.imu_for_circle(imu_ts, radius=RADIUS, speed=SPEED, ramp=RAMP)
+    cfg = bench_config()
     batches = lio.build_batches(
-        cfg, scans, ts + 1e-9, np.asarray(imu.lacc), np.asarray(imu.avel),
+        cfg, scans, scan_ts, np.asarray(imu.lacc), np.asarray(imu.avel),
         imu_ts)
     state = lio.init_state(cfg)
 
@@ -86,22 +100,20 @@ def bench_tpu(scans, ts, poses, imu_ts):
     jax.block_until_ready(out.kiss_pose)
     dt = time.monotonic() - t0
 
-    # quality gate: ATE RMSE vs sim ground truth
-    rel = np.einsum("ij,njk->nik", np.linalg.inv(poses[0]), poses)
-    kp = np.asarray(out.kiss_pose)
-    terr = np.linalg.norm(kp[:, :3, 3] - rel[:, :3, 3], axis=1)
-    ate_rmse = float(np.sqrt(np.mean(terr**2)))
+    # quality gate: first-pose-aligned ATE RMSE vs exact mid-sweep poses
+    kp = np.asarray(out.kiss_pose, np.float64)
+    _, ate_rmse = calc_ate_rmse(kp, gt_mid)
 
     return {
         "scans_per_sec": N_SCANS / dt,
         "sec_per_scan": dt / N_SCANS,
         "compile_s": compile_and_run - dt,
-        "ate_rmse_m": ate_rmse,
+        "ate_rmse_m": float(ate_rmse),
         "device": str(jax.devices()[0]),
     }
 
 
-def bench_cpu_oracle(scans, ts, poses, n=8):
+def bench_cpu_oracle(scans, n=8):
     """f64 numpy KD-tree oracle of the same algorithm on host CPU."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
@@ -111,7 +123,7 @@ def bench_cpu_oracle(scans, ts, poses, n=8):
     import jax.numpy as jnp
 
     sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
-    ok = OracleKiss(voxel_size=0.7, max_range=70.0, min_range=1.0,
+    ok = OracleKiss(voxel_size=0.3, max_range=70.0, min_range=1.0,
                     max_iters=30)
     pts_list = []
     for i in range(n):
@@ -126,9 +138,9 @@ def bench_cpu_oracle(scans, ts, poses, n=8):
 
 
 def main():
-    scans, ts, poses, imu_ts = make_data()
-    tpu = bench_tpu(scans, ts, poses, imu_ts)
-    cpu_scans_per_sec = bench_cpu_oracle(scans, ts, poses)
+    scans, scan_ts, gt_mid, imu_ts = make_data()
+    tpu = bench_tpu(scans, scan_ts, gt_mid, imu_ts)
+    cpu_scans_per_sec = bench_cpu_oracle(scans)
     result = {
         "metric": "lio_scans_per_sec_per_chip",
         "value": round(tpu["scans_per_sec"], 3),

@@ -38,7 +38,16 @@ class KissConfig:
     # "point" (kiss-icp parity point-to-point)
     loss: str = "plane"
     plane_min_quality: float = 0.2
+    # patch radius (meters) for the per-point cross-voxel plane fit in
+    # cached mode; None -> 1.5 * voxel_size
+    plane_fit_radius: float | None = None
     approx_nn: bool = True
+    # NN candidate strategy: "cached" gathers the top-``nn_voxels`` candidate
+    # voxels (with plane fits) ONCE per scan and iterates densely — the
+    # TPU-native shape (one gather + K VPU iterations); "every" re-queries
+    # the hash map per iteration (kiss-icp behavior, gather-bound)
+    nn_mode: str = "cached"
+    nn_voxels: int = 4
     # motion-prior regularization toward the initial guess (0 = kiss parity);
     # bounds sampling-noise random walk of the GN on self-similar geometry
     prior_rot_weight: float = 0.01
@@ -97,3 +106,7 @@ class PipelineConfig:
     ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
     max_imu_per_scan: int = 16     # reference interleaves ~10 IMU per scan
     guess: str = "kiss"            # 'kiss' | 'ekf' | 'gt' (ekf_bench.py:533-548)
+    # deskew motion source: "ekf" integrates the sweep's own IMU block
+    # (exact during accelerations; needs the fused pipeline), "kiss" is the
+    # reference's const-velocity-from-previous-poses model
+    deskew_mode: str = "ekf"

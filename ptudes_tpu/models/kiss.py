@@ -100,32 +100,45 @@ def register_scan(
     cap: Capacity,
     initial_guess: jax.Array | None = None,
     use_guess: bool = False,
+    deskew_twist: jax.Array | None = None,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
     ``initial_guess`` (with ``use_guess=True``) overrides the const-velocity
     prediction — the mechanism the reference uses for EKF-predicted and
     GT-guess modes (``src/ptudes/cli/ekf_bench.py:533-548``).
+
+    ``deskew_twist`` (a [6] se(3) twist = log of the sweep's relative
+    motion) overrides kiss's const-velocity-from-pose-history deskew.
+    The LIO pipeline passes the EKF's IMU-integrated motion over the sweep
+    window here — exact during accelerations, where const-velocity lags
+    (the reference cannot do this: its deskew lives inside kiss-icp C++).
     """
     vs = cfg.resolved_voxel_size
 
     # 1. deskew (no-op until two poses exist: twist is zero then)
     if cfg.deskew:
-        pts = deskew_ops.deskew_scan(
-            pts, ts01, state.pose_prev, state.pose,
-            enabled=state.num_scans >= 2,
-        )
+        if deskew_twist is not None:
+            pts = deskew_ops.deskew_by_twist(pts, ts01 - 0.5, deskew_twist)
+        else:
+            pts = deskew_ops.deskew_scan(
+                pts, ts01, state.pose_prev, state.pose,
+                enabled=state.num_scans >= 2,
+            )
 
     # 2. preprocess: range clip by norm (kiss Preprocess)
     mask = voxel.range_clip_mask(pts, mask, cfg.min_range, cfg.max_range)
 
-    # 3. double voxelize (first-point-per-voxel)
+    # 3. double voxelize (first-point-per-voxel); the second (source) dedup
+    #    runs on the already-compacted frame — identical output (compact is
+    #    order-preserving, so first-in-voxel survivors match), ~N/max_frame
+    #    times cheaper scatter traffic
     keep_frame = voxel.first_in_voxel_mask(pts, mask, vs * 0.5, cap.dedup_table)
     frame_ds, frame_mask = voxel.compact(pts, keep_frame, cap.max_frame)
     keep_src = voxel.first_in_voxel_mask(
-        pts, keep_frame, vs * 1.5, cap.dedup_table
+        frame_ds, frame_mask, vs * 1.5, cap.dedup_table
     )
-    source, source_mask = voxel.compact(pts, keep_src, cap.max_source)
+    source, source_mask = voxel.compact(frame_ds, keep_src, cap.max_source)
 
     # 4. adaptive threshold
     sigma = get_adaptive_threshold(state, cfg)
@@ -138,20 +151,37 @@ def register_scan(
         guess = state.pose @ prediction_model(state)
 
     # 6. robust ICP against the local map
-    res = icp.register_frame(
-        source, source_mask, state.local_map, guess,
-        3.0 * sigma, sigma / 3.0,
-        voxel_size=vs,
-        max_probes=cap.max_probes,
-        max_iterations=cfg.max_iterations,
-        convergence=cfg.convergence_criterion,
-        approx=cfg.approx_nn,
-        loss=cfg.loss,
-        plane_min_quality=cfg.plane_min_quality,
-        prior_rot_weight=cfg.prior_rot_weight,
-        prior_trans_weight=cfg.prior_trans_weight,
-        neighborhood=cfg.nn_neighborhood,
-    )
+    if cfg.nn_mode == "cached":
+        res = icp.register_frame_cached(
+            source, source_mask, state.local_map, guess,
+            3.0 * sigma, sigma / 3.0,
+            voxel_size=vs,
+            max_probes=cap.max_probes,
+            max_iterations=cfg.max_iterations,
+            convergence=cfg.convergence_criterion,
+            loss=cfg.loss,
+            plane_min_quality=cfg.plane_min_quality,
+            prior_rot_weight=cfg.prior_rot_weight,
+            prior_trans_weight=cfg.prior_trans_weight,
+            neighborhood=cfg.nn_neighborhood,
+            n_voxels=cfg.nn_voxels,
+            plane_radius=cfg.plane_fit_radius,
+        )
+    else:
+        res = icp.register_frame(
+            source, source_mask, state.local_map, guess,
+            3.0 * sigma, sigma / 3.0,
+            voxel_size=vs,
+            max_probes=cap.max_probes,
+            max_iterations=cfg.max_iterations,
+            convergence=cfg.convergence_criterion,
+            approx=cfg.approx_nn,
+            loss=cfg.loss,
+            plane_min_quality=cfg.plane_min_quality,
+            prior_rot_weight=cfg.prior_rot_weight,
+            prior_trans_weight=cfg.prior_trans_weight,
+            neighborhood=cfg.nn_neighborhood,
+        )
     new_pose = res.pose
 
     # 7. model deviation -> adaptive threshold statistics

@@ -80,6 +80,7 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
         #    ~10 IMUs per scan, ekf_bench.py:491-518)
+        ekf0_pose = esekf.pose_mat(state.ekf)
         ekf1 = esekf.process_imu_batch(
             state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
 
@@ -94,9 +95,19 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
         else:
             guess, use_guess = None, False
 
+        # deskew twist: the IMU window (prev_scan_ts, scan_ts] IS the sweep
+        # (scan ts = last column ts), so the EKF's integrated motion over
+        # the block deskews the sweep exactly — including accelerations,
+        # where kiss's const-velocity model lags and smears the map
+        deskew_twist = None
+        if cfg.deskew_mode == "ekf" and cfg.kiss.deskew:
+            deskew_twist = se3.log_pose(
+                se3.inv(ekf0_pose) @ esekf.pose_mat(ekf1))
+
         kiss1, pose, aux = kiss.register_scan(
             state.kiss, pts, mask, ts01, cfg=cfg.kiss, cap=cfg.cap,
-            initial_guess=guess, use_guess=use_guess)
+            initial_guess=guess, use_guess=use_guess,
+            deskew_twist=deskew_twist)
 
         # 4. EKF update with the ICP pose (ekf_bench.py:555)
         ekf2 = esekf.process_pose(ekf1, pose, cfg=cfg.ekf)

@@ -247,6 +247,53 @@ def render_range_image(
     return img.astype(np.float32)
 
 
+def _circle_kinematics(
+    t: np.ndarray, radius: float, speed: float, ramp: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arc angle, angular rate and tangential acceleration at times ``t``
+    for a circle driven at speed ``v(t) = speed * min(1, t/ramp)``.
+
+    ``ramp > 0`` makes the platform start AT REST and accelerate — the
+    physically realistic profile (every real recording starts stationary;
+    an instantaneous 2 m/s start defeats both the const-velocity and the
+    EKF initial guess, which no odometry bootstraps through).
+    """
+    t = np.asarray(t, np.float64)
+    if ramp <= 0.0:
+        arc = speed * t
+        v = np.full_like(t, speed)
+        at = np.zeros_like(t)
+    else:
+        tr = np.minimum(t, ramp)
+        # distance: 0.5*speed/ramp*t^2 while ramping, linear after
+        arc = 0.5 * speed / ramp * tr**2 + speed * np.maximum(t - ramp, 0.0)
+        v = speed * np.minimum(t / ramp, 1.0)
+        at = np.where(t < ramp, speed / ramp, 0.0)
+    return arc / radius, v / radius, at
+
+
+def circle_poses_at(
+    t: np.ndarray,
+    *,
+    radius: float = 8.0,
+    speed: float = 2.0,
+    ramp: float = 0.0,
+    z: float = 1.2,
+) -> np.ndarray:
+    """Exact poses [len(t), 4, 4] of the (optionally speed-ramped) circle
+    at arbitrary times — use for mid-sweep ground truth."""
+    a, _, _ = _circle_kinematics(t, radius, speed, ramp)
+    pos = np.stack(
+        [radius * np.sin(a), radius * (1 - np.cos(a)),
+         np.full_like(a, z)], -1)
+    poses = np.tile(np.eye(4), (len(a), 1, 1))
+    ca, sa = np.cos(a), np.sin(a)
+    poses[:, 0, 0], poses[:, 0, 1] = ca, -sa
+    poses[:, 1, 0], poses[:, 1, 1] = sa, ca
+    poses[:, :3, 3] = pos
+    return poses.astype(np.float64)
+
+
 def circle_trajectory(
     n_scans: int,
     *,
@@ -254,47 +301,44 @@ def circle_trajectory(
     speed: float = 2.0,
     scan_dt: float = 0.1,
     z: float = 1.2,
+    ramp: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Constant-speed circular trajectory with tangent heading.
+    """Circular trajectory with tangent heading (``ramp`` > 0: start at
+    rest, reach ``speed`` after ``ramp`` seconds).
 
     Returns (ts [n], poses [n, 4, 4]). Analytic, so IMU ground truth is
     exact (see :func:`imu_for_circle`).
     """
-    omega = speed / radius
     ts = np.arange(n_scans) * scan_dt
-    a = omega * ts
-    pos = np.stack(
-        [radius * np.sin(a), radius * (1 - np.cos(a)), np.full_like(a, z)], -1)
-    poses = np.tile(np.eye(4), (n_scans, 1, 1))
-    ca, sa = np.cos(a), np.sin(a)
-    poses[:, 0, 0], poses[:, 0, 1] = ca, -sa
-    poses[:, 1, 0], poses[:, 1, 1] = sa, ca
-    poses[:, :3, 3] = pos
-    return ts, poses.astype(np.float64)
+    return ts, circle_poses_at(ts, radius=radius, speed=speed, ramp=ramp,
+                               z=z)
 
 
 def imu_for_circle(
     imu_ts: np.ndarray, *, radius: float = 8.0, speed: float = 2.0,
+    ramp: float = 0.0,
 ) -> Imu:
     """Exact IMU (specific force + body rates) for :func:`circle_trajectory`.
 
     Accelerometer measures f_b = R^T (a_world - g) with g = GRAV * DOWN;
-    gyro measures omega_b = [0, 0, omega].
+    gyro measures omega_b = [0, 0, omega(t)].
     """
-    omega = speed / radius
-    a = omega * imu_ts
-    acc_world = np.stack(
-        [-radius * omega**2 * np.sin(a), radius * omega**2 * np.cos(a),
-         np.zeros_like(a)], -1)
-    g = GRAV * np.array([0.0, 0.0, -1.0])
+    a, omega, at = _circle_kinematics(imu_ts, radius, speed, ramp)
+    v = omega * radius
+    # world accel = tangential + centripetal
     ca, sa = np.cos(a), np.sin(a)
-    # R^T rows: body x = [ca, sa, 0]... R = yaw(a)
+    tangent = np.stack([ca, sa], -1)
+    normal = np.stack([-sa, ca], -1)
+    acc2d = at[:, None] * tangent + (v**2 / radius)[:, None] * normal
+    acc_world = np.concatenate([acc2d, np.zeros_like(a)[:, None]], -1)
+    g = GRAV * np.array([0.0, 0.0, -1.0])
+    # R = yaw(a); f_b = R^T (a_world - g)
     fx = ca * (acc_world[:, 0] - g[0]) + sa * (acc_world[:, 1] - g[1])
     fy = -sa * (acc_world[:, 0] - g[0]) + ca * (acc_world[:, 1] - g[1])
     fz = np.full_like(a, -g[2])
     lacc = np.stack([fx, fy, fz], -1)
     avel = np.stack(
-        [np.zeros_like(a), np.zeros_like(a), np.full_like(a, omega)], -1)
+        [np.zeros_like(a), np.zeros_like(a), omega], -1)
     return Imu(
         lacc=jnp.asarray(lacc, jnp.float32),
         avel=jnp.asarray(avel, jnp.float32),

@@ -38,13 +38,303 @@ import jax.numpy as jnp
 
 from ..geom import se3, so3
 from . import hashmap
-from .plane import voxel_plane
+from .plane import smallest_eigvec_sym3, voxel_plane
 
 
 class IcpResult(NamedTuple):
     pose: jax.Array        # [4, 4] refined pose (world_T_scan)
     num_corr: jax.Array    # correspondences used in the last iteration
     iterations: jax.Array  # iterations until convergence (== max if never)
+
+
+class CandidateSet(NamedTuple):
+    """Per-source-point NN candidates, gathered ONCE per registration.
+
+    The voxel map is immutable during ICP and a good initial guess moves
+    the pose by millimeters per GN iteration, so the candidate voxels
+    (top-V of the 27-neighborhood by representative distance at the guess
+    pose) are valid for every iteration. This turns the reference's
+    per-iteration hash queries (the gather-bound hot loop,
+    ``kiss_icp::registration`` re-searching NNs each step) into one gather
+    + K iterations of pure dense VPU math — the TPU-native shape of ICP.
+
+    The plane fit is PER POINT over the whole gathered candidate patch
+    (cross-voxel), not per voxel: single-scan maps hold only 1-3 points
+    per voxel — never enough for a voxel-local fit — which forces
+    point-to-point matching whose tangential NN bias systematically
+    underestimates motion on ground-dominated scenes. The patch fit gives
+    valid ground normals from the very first map scan. (A capability the
+    reference cannot express: kiss-icp only ever sees one voxel's points
+    per correspondence.)
+    """
+    pts: jax.Array       # [M, V*P, 3] candidate points
+    valid: jax.Array     # [M, V*P] bool
+    normal: jax.Array    # [M, 3] per-point patch plane normal
+    centroid: jax.Array  # [M, 3]
+    quality: jax.Array   # [M] planarity in [0, 1]
+
+
+def gather_candidates(
+    vmap_: hashmap.VoxelHashMap,
+    pts_w: jax.Array,          # [M, 3] query points (source at guess pose)
+    *,
+    voxel_size: float,
+    max_probes: int = 2,
+    neighborhood: int = 27,
+    n_voxels: int = 4,
+    fit_planes: bool = True,
+    plane_radius: float | None = None,
+) -> CandidateSet:
+    """Fetch the ``n_voxels`` nearest candidate voxels' point lists.
+
+    Ranking is by representative-point distance (first stored point per
+    voxel, carried in the packed meta row), same as the approx query. The
+    per-point patch plane fit (for the point-to-plane loss) happens here
+    too: voxel contents don't change during ICP, so normals are
+    loop-invariant. ``plane_radius`` bounds the patch around the query
+    point (default 1.5 * voxel_size).
+    """
+    cap = vmap_.meta.shape[0]
+    ppv = vmap_.points.shape[1]
+    mnum = pts_w.shape[0]
+    from .voxel import voxel_coords
+
+    qc = voxel_coords(pts_w, voxel_size)                      # [M, 3]
+    offsets = jnp.asarray(
+        hashmap._NEIGHBOR_OFFSETS[:neighborhood])             # [J, 3]
+    keys = qc[:, None, :] + offsets[None, :, :]               # [M, J, 3]
+    fp, h0 = hashmap._fingerprint_and_slot(keys, cap)         # [M, J]
+
+    found_slot = jnp.full((mnum, neighborhood), cap, jnp.int32)
+    found = jnp.zeros((mnum, neighborhood), bool)
+    cnt = jnp.zeros((mnum, neighborhood), jnp.int32)
+    rep = jnp.zeros((mnum, neighborhood, 3), jnp.float32)
+    for r in range(max_probes):
+        s = (h0 + r) & (cap - 1)
+        rows = vmap_.meta.at[s].get(mode="fill", fill_value=0)
+        match = (rows[..., 0] == fp) & ~found
+        found_slot = jnp.where(match, s, found_slot)
+        cnt = jnp.where(match, rows[..., 1], cnt)
+        rep = jnp.where(
+            match[..., None],
+            jax.lax.bitcast_convert_type(rows[..., 2:5], jnp.float32),
+            rep,
+        )
+        found = found | match
+
+    rep_d2 = jnp.sum((rep - pts_w[:, None, :]) ** 2, axis=-1)
+    rep_d2 = jnp.where(found, rep_d2, jnp.inf)
+
+    # iterative top-V selection (V is tiny; argmin + mask beats a sort)
+    jidx = jnp.arange(neighborhood, dtype=jnp.int32)[None, :]
+    sel_slot, sel_cnt, sel_ok = [], [], []
+    d = rep_d2
+    for _ in range(n_voxels):
+        j = jnp.argmin(d, axis=-1)                            # [M]
+        sel_slot.append(jnp.take_along_axis(found_slot, j[:, None], 1)[:, 0])
+        sel_cnt.append(jnp.take_along_axis(cnt, j[:, None], 1)[:, 0])
+        sel_ok.append(jnp.isfinite(
+            jnp.take_along_axis(d, j[:, None], 1)[:, 0]))
+        d = jnp.where(jidx == j[:, None], jnp.inf, d)
+    slot_v = jnp.stack(sel_slot, axis=1)                      # [M, V]
+    cnt_v = jnp.where(jnp.stack(sel_ok, 1), jnp.stack(sel_cnt, 1), 0)
+
+    vox_pts = vmap_.points.at[slot_v].get(
+        mode="fill", fill_value=0.0)                          # [M, V, P, 3]
+    valid = (jnp.arange(ppv, dtype=jnp.int32)[None, None, :]
+             < cnt_v[:, :, None])                             # [M, V, P]
+    cpts = vox_pts.reshape(mnum, n_voxels * ppv, 3)
+    cvalid = valid.reshape(mnum, n_voxels * ppv)
+
+    if fit_planes:
+        r = 1.5 * voxel_size if plane_radius is None else plane_radius
+        d2g = jnp.sum((cpts - pts_w[:, None, :]) ** 2, axis=-1)
+        w = (cvalid & (d2g <= r * r)).astype(jnp.float32)     # [M, C]
+        n_in = jnp.sum(w, axis=-1)                            # [M]
+        denom = jnp.maximum(n_in, 1.0)
+        centroid = jnp.sum(cpts * w[..., None], axis=1) / denom[:, None]
+        d = (cpts - centroid[:, None, :]) * w[..., None]
+        cov = jnp.einsum("mpi,mpj->mij", d, d) / denom[:, None, None]
+        normal, quality = smallest_eigvec_sym3(cov)
+        quality = jnp.where(n_in >= 4, quality, 0.0)
+    else:
+        normal = jnp.zeros((mnum, 3), jnp.float32)
+        centroid = jnp.zeros((mnum, 3), jnp.float32)
+        quality = jnp.zeros((mnum,), jnp.float32)
+
+    return CandidateSet(
+        pts=cpts, valid=cvalid,
+        normal=normal, centroid=centroid, quality=quality,
+    )
+
+
+def gn_from_candidates(
+    t_cur: jax.Array,         # [4, 4]
+    source: jax.Array,        # [N, 3]
+    source_mask: jax.Array,   # [N]
+    cand: CandidateSet,
+    kernel: jax.Array,
+    max_d2: jax.Array,
+    *,
+    loss: str,
+    plane_min_quality: float,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One GN normal-equation build against a fixed candidate set.
+
+    Pure dense VPU/MXU math (no gathers). Returns (jtj [6,6], jtr [6],
+    n_corr, total_weight) — additive across point shards, so the sharded
+    pipeline psums them directly (the one hot-loop collective).
+    """
+    n = source.shape[0]
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    cand_inf = jnp.where(cand.valid, 0.0, jnp.inf)            # [N, C]
+
+    pts_w = se3.transform(t_cur, source)                      # [N, 3]
+    d2 = jnp.sum((cand.pts - pts_w[:, None, :]) ** 2, axis=-1) + cand_inf
+    k = jnp.argmin(d2, axis=-1)                               # [N]
+    d2min = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
+    nn = jnp.take_along_axis(cand.pts, k[:, None, None], 1)[:, 0]
+    found = jnp.isfinite(d2min)
+    corr = source_mask & found & (d2min <= max_d2)
+    r_vec = pts_w - nn
+
+    if loss == "plane":
+        use_plane = corr & (cand.quality >= plane_min_quality)
+        s = jnp.sum(cand.normal * (pts_w - cand.centroid), axis=-1)
+        w_pl = jnp.where(
+            use_plane,
+            (kernel * kernel) / jnp.square(kernel + s * s), 0.0)
+        row = jnp.concatenate(
+            [jnp.cross(pts_w, cand.normal), cand.normal], axis=-1)
+        jtj_pl = jnp.einsum("ni,nj->ij", row * w_pl[:, None], row)
+        jtr_pl = jnp.einsum("ni,n->i", row * w_pl[:, None], s)
+        use_point = corr & ~use_plane
+        w_pl_sum = jnp.sum(w_pl)
+    else:
+        use_point = corr
+        jtj_pl = jnp.zeros((6, 6), jnp.float32)
+        jtr_pl = jnp.zeros((6,), jnp.float32)
+        w_pl_sum = 0.0
+
+    w_pt = jnp.where(
+        use_point,
+        (kernel * kernel) / jnp.square(kernel + d2min), 0.0)
+    hat_p = so3.hat(pts_w)
+    j = jnp.concatenate(
+        [-hat_p, jnp.broadcast_to(eye3, (n, 3, 3))], axis=-1)
+    jw = j * w_pt[:, None, None]
+    jtj = jnp.einsum("nij,nik->jk", jw, j) + jtj_pl
+    jtr = jnp.einsum("nij,ni->j", jw, r_vec) + jtr_pl
+    total_w = jnp.sum(w_pt) + w_pl_sum
+    return jtj, jtr, jnp.sum(corr), total_w
+
+
+def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
+    """Worst-case candidate staleness: translation + rotation sweep at a
+    nominal 17.5 m lever arm (half a typical clip range)."""
+    rel = se3.inv(t_gather) @ t_cur
+    dt = jnp.linalg.norm(se3.trans(rel))
+    theta = jnp.linalg.norm(so3.log_rotmat(se3.rot(rel)))
+    return dt + theta * 0.5 * 35.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "voxel_size", "max_probes", "max_iterations", "loss",
+        "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
+        "neighborhood", "n_voxels", "plane_radius",
+    ),
+)
+def register_frame_cached(
+    source: jax.Array,        # [N, 3] deskewed, voxelized source points
+    source_mask: jax.Array,   # [N] bool
+    vmap_: hashmap.VoxelHashMap,
+    initial_guess: jax.Array,  # [4, 4]
+    max_distance: jax.Array,   # scalar: 3 * sigma
+    kernel: jax.Array,         # scalar: sigma / 3
+    *,
+    voxel_size: float,
+    max_probes: int = 2,
+    max_iterations: int = 50,
+    convergence: float = 1e-4,
+    loss: str = "plane",
+    plane_min_quality: float = 0.2,
+    prior_rot_weight: float = 0.0,
+    prior_trans_weight: float = 0.0,
+    neighborhood: int = 27,
+    n_voxels: int = 4,
+    plane_radius: float | None = None,
+) -> IcpResult:
+    """Gather-once robust GN ICP (see :class:`CandidateSet`).
+
+    Same objective as :func:`register_frame` but with the NN candidates
+    (and plane fits) hoisted out of the iteration loop: per iteration only
+    a dense [M, V*P] distance + argmin + GN normal-equation build remain —
+    no hash probes, no gathers, no data-dependent memory traffic.
+    """
+    assert loss in ("point", "plane")
+    max_d2 = max_distance * max_distance
+    guess = initial_guess.astype(jnp.float32)
+    guess_inv = se3.inv(guess)
+    # re-gather when the pose has drifted >half a voxel from the gather
+    # pose — keeps candidates exact while a poor guess is still moving,
+    # freezes them (one gather total) once the solve is in the basin
+    refresh_th = 0.5 * voxel_size
+
+    def fetch(t_at):
+        return gather_candidates(
+            vmap_, se3.transform(t_at, source),
+            voxel_size=voxel_size, max_probes=max_probes,
+            neighborhood=neighborhood, n_voxels=n_voxels,
+            fit_planes=(loss == "plane"), plane_radius=plane_radius,
+        )
+
+    cand0 = fetch(guess)
+
+    def body(carry):
+        t_cur, t_gather, cand, converged, n_corr, iters = carry
+
+        stale = drift_metric(t_gather, t_cur) > refresh_th
+        cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
+        t_gather = jnp.where(stale, t_cur, t_gather)
+
+        jtj, jtr, corr_n, total_w = gn_from_candidates(
+            t_cur, source, source_mask, cand, kernel, max_d2,
+            loss=loss, plane_min_quality=plane_min_quality)
+
+        if prior_rot_weight > 0.0 or prior_trans_weight > 0.0:
+            xi = se3.log_pose(t_cur @ guess_inv)
+            wp = total_w * jnp.asarray(
+                [prior_rot_weight] * 3 + [prior_trans_weight] * 3,
+                jnp.float32)
+            jtj = jtj + jnp.diag(wp)
+            jtr = jtr + wp * xi
+
+        jtj = jtj + 1e-8 * jnp.eye(6, dtype=jtj.dtype)
+        dx = jnp.linalg.solve(jtj, -jtr)
+        dx = jnp.where(converged, 0.0, dx)
+
+        t_new = se3.exp_twist(dx) @ t_cur
+        now_conv = jnp.linalg.norm(dx) < convergence
+        iters = jnp.where(converged, iters, iters + 1)
+        return (
+            t_new,
+            t_gather,
+            cand,
+            converged | now_conv,
+            jnp.where(converged, n_corr, corr_n),
+            iters,
+        )
+
+    def cond(carry):
+        converged, iters = carry[3], carry[5]
+        return jnp.logical_and(~converged, iters < max_iterations)
+
+    init = (guess, guess, cand0, jnp.asarray(False),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    t_final, _, _, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
+    return IcpResult(pose=t_final, num_corr=n_corr, iterations=iters)
 
 
 @partial(

@@ -22,45 +22,11 @@ from jax import shard_map
 
 from ..config import PipelineConfig
 from ..geom import se3, so3
-from ..ops import hashmap, voxel
+from ..ops import hashmap, icp, voxel
 from ..ops import deskew as deskew_ops
-from ..ops.plane import voxel_plane
 from ..ops.projection import XyzLut, scan_to_points
 from . import mesh as mesh_lib
 from ..models import esekf, kiss, lio
-
-
-def _gn_partial(pts_w, nn, d2, found, mask, kernel, max_d2,
-                vmap_, slot, loss, plane_min_quality):
-    """Per-shard GN normal equations (same math as ops.icp body)."""
-    n = pts_w.shape[0]
-    corr = mask & found & (d2 <= max_d2)
-    r_vec = pts_w - nn
-    eye3 = jnp.eye(3, dtype=jnp.float32)
-    if loss == "plane":
-        vox_pts = vmap_.points.at[slot].get(mode="fill", fill_value=0.0)
-        cnt = vmap_.meta.at[slot, 1].get(mode="fill", fill_value=0)
-        normal, centroid, quality = voxel_plane(vox_pts, cnt)
-        use_plane = corr & (quality >= plane_min_quality)
-        s = jnp.sum(normal * (pts_w - centroid), axis=-1)
-        w_pl = jnp.where(
-            use_plane, (kernel * kernel) / jnp.square(kernel + s * s), 0.0)
-        row = jnp.concatenate([jnp.cross(pts_w, normal), normal], axis=-1)
-        jtj_pl = jnp.einsum("ni,nj->ij", row * w_pl[:, None], row)
-        jtr_pl = jnp.einsum("ni,n->i", row * w_pl[:, None], s)
-        use_point = corr & ~use_plane
-    else:
-        jtj_pl = jnp.zeros((6, 6), jnp.float32)
-        jtr_pl = jnp.zeros((6,), jnp.float32)
-        use_point = corr
-    w_pt = jnp.where(
-        use_point, (kernel * kernel) / jnp.square(kernel + d2), 0.0)
-    hat_p = so3.hat(pts_w)
-    j = jnp.concatenate([-hat_p, jnp.broadcast_to(eye3, (n, 3, 3))], -1)
-    jw = j * w_pt[:, None, None]
-    jtj = jnp.einsum("nij,nik->jk", jw, j) + jtj_pl
-    jtr = jnp.einsum("nij,ni->j", jw, r_vec) + jtr_pl
-    return jtj, jtr, jnp.sum(corr)
 
 
 def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
@@ -76,6 +42,7 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
 
     def step(state: lio.LioState, batch: lio.ScanBatch):
         # --- replicated: EKF predict over the IMU block
+        ekf0_pose = esekf.pose_mat(state.ekf)
         ekf1 = esekf.process_imu_batch(
             state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
 
@@ -91,9 +58,14 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
 
         kstate = state.kiss
         if kcfg.deskew:
-            pts = deskew_ops.deskew_scan(
-                pts, ts01, kstate.pose_prev, kstate.pose,
-                enabled=kstate.num_scans >= 2)
+            if cfg.deskew_mode == "ekf":
+                twist = se3.log_pose(
+                    se3.inv(ekf0_pose) @ esekf.pose_mat(ekf1))
+                pts = deskew_ops.deskew_by_twist(pts, ts01 - 0.5, twist)
+            else:
+                pts = deskew_ops.deskew_scan(
+                    pts, ts01, kstate.pose_prev, kstate.pose,
+                    enabled=kstate.num_scans >= 2)
         mask = voxel.range_clip_mask(pts, mask, kcfg.min_range, kcfg.max_range)
 
         # local voxel dedup per shard (slight over-sampling across shard
@@ -114,32 +86,55 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
             guess = batch.guess_pose
         else:
             guess = kstate.pose @ kiss.prediction_model(kstate)
+        guess = guess.astype(jnp.float32)
+        guess_inv = se3.inv(guess)
         kernel = sigma / 3.0
         max_d2 = jnp.square(3.0 * sigma)
+        refresh_th = 0.5 * vs
+
+        # gather-once candidates per shard (map replicated, points sharded);
+        # per iteration only dense math + ONE psum of the 6x6 system remain
+        def fetch(t_at):
+            return icp.gather_candidates(
+                kstate.local_map, se3.transform(t_at, source),
+                voxel_size=vs, max_probes=cap.max_probes,
+                neighborhood=kcfg.nn_neighborhood, n_voxels=kcfg.nn_voxels,
+                fit_planes=(kcfg.loss == "plane"),
+                plane_radius=kcfg.plane_fit_radius)
 
         def body(_, carry):
-            t_cur, converged = carry
-            pts_w = se3.transform(t_cur, source)
-            q = hashmap.query(
-                kstate.local_map, pts_w, voxel_size=vs,
-                max_probes=cap.max_probes, approx=kcfg.approx_nn,
-                neighborhood=kcfg.nn_neighborhood)
-            jtj, jtr, _ = _gn_partial(
-                pts_w, q.nn, q.d2, q.found, source_mask, kernel, max_d2,
-                kstate.local_map, q.slot, kcfg.loss, kcfg.plane_min_quality)
+            t_cur, t_gather, cand, converged = carry
+            # pose is replicated over 'pt', so the staleness branch is
+            # uniform across the shard group — cond is collective-safe
+            stale = icp.drift_metric(t_gather, t_cur) > refresh_th
+            cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
+            t_gather = jnp.where(stale, t_cur, t_gather)
+
+            jtj, jtr, _, total_w = icp.gn_from_candidates(
+                t_cur, source, source_mask, cand, kernel, max_d2,
+                loss=kcfg.loss, plane_min_quality=kcfg.plane_min_quality)
             # the one hot-loop collective: reduce the 6x6 system over ICI
             jtj = jax.lax.psum(jtj, "pt")
             jtr = jax.lax.psum(jtr, "pt")
+            total_w = jax.lax.psum(total_w, "pt")
+            # motion prior — same objective as the single-device path
+            if kcfg.prior_rot_weight > 0.0 or kcfg.prior_trans_weight > 0.0:
+                xi = se3.log_pose(t_cur @ guess_inv)
+                wp = total_w * jnp.asarray(
+                    [kcfg.prior_rot_weight] * 3
+                    + [kcfg.prior_trans_weight] * 3, jnp.float32)
+                jtj = jtj + jnp.diag(wp)
+                jtr = jtr + wp * xi
             jtj = jtj + 1e-8 * jnp.eye(6, dtype=jnp.float32)
             dx = jnp.linalg.solve(jtj, -jtr)
             dx = jnp.where(converged, 0.0, dx)
             t_new = se3.exp_twist(dx) @ t_cur
-            return t_new, converged | (
+            return t_new, t_gather, cand, converged | (
                 jnp.linalg.norm(dx) < kcfg.convergence_criterion)
 
-        new_pose, _ = jax.lax.fori_loop(
+        new_pose, _, _, _ = jax.lax.fori_loop(
             0, kcfg.max_iterations, body,
-            (guess.astype(jnp.float32), jnp.asarray(False)))
+            (guess, guess, fetch(guess), jnp.asarray(False)))
 
         # adaptive threshold bookkeeping (replicated math)
         dev = se3.inv(guess) @ new_pose
