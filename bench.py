@@ -64,7 +64,7 @@ def bench_config():
                                    PipelineConfig)
     return PipelineConfig(
         kiss=KissConfig(max_range=70.0, min_range=1.0,
-                        max_points_per_voxel=16, max_iterations=30,
+                        max_points_per_voxel=16, max_iterations=20,
                         deskew=True, loss="plane",
                         voxel_size=0.3, plane_fit_radius=0.6,
                         nn_mode="cached", nn_voxels=4),

@@ -124,9 +124,6 @@ def cmd_ekf_sim(duration, freq, corr_t, acc_noise_std, gyr_noise_std, seed,
     s_gt, log_gt = esekf.run_filter(
         esekf.init_state(cfg), ideal, jnp.zeros(n, bool),
         jnp.tile(jnp.eye(4), (n, 1, 1)), cfg=cfg)
-    gt_poses = np.tile(np.eye(4), (n, 1, 1))
-    gt_poses[:, :3, :3] = np.asarray(
-        jnp.asarray([[1.0]]))  # placeholder replaced below
     from ..geom import so3
     gt_poses = np.tile(np.eye(4), (n, 1, 1))
     gt_poses[:, :3, :3] = np.asarray(so3.quat_to_mat(log_gt.att_q))

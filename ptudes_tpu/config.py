@@ -75,6 +75,10 @@ class Capacity:
     map_capacity: int = 1 << 19   # voxel hash slots (power of two)
     max_probes: int = 2           # open-addressing probe length (keep load factor low)
     dedup_table: int = 1 << 20    # scratch table for voxel downsample
+    # capacity of the compacted genuinely-new-points buffer in the
+    # occupancy-deduped map insert; steady-state scene turnover per scan
+    # (overflow is retried next scan, so only map build-up speed varies)
+    max_new_per_scan: int = 8192
 
 
 @dataclass(frozen=True)

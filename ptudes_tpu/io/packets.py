@@ -44,8 +44,6 @@ def parse_imu_packets(payloads: np.ndarray) -> dict[str, np.ndarray]:
     from .. import native
     out = native.parse_imu(payloads)
     if out is not None:
-        out["accel_ts"] = out["sys_ts"]
-        out["gyro_ts"] = out["sys_ts"]
         return out
     rec = payloads.reshape(-1).view(_IMU_DTYPE).reshape(payloads.shape[0])
     return {

@@ -65,52 +65,122 @@ def _parse_records(buf: memoryview) -> tuple[np.ndarray, np.ndarray, float]:
             np.asarray(tss, np.float64))
 
 
+def _group_by_size(arena: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                   tss: np.ndarray) -> list[tuple[int, PacketStream]]:
+    out = []
+    for size in np.unique(lens):
+        size = int(size)
+        if size <= 0:
+            continue
+        sel = lens == size
+        o = offs[sel]
+        payloads = arena[o[:, None] + np.arange(size)[None, :]]
+        out.append((size, PacketStream(payloads=payloads, ts=tss[sel])))
+    out.sort(key=lambda kv: -kv[1].payloads.shape[0])
+    return out
+
+
 def read_pcap_udp(
     path: str,
 ) -> list[tuple[int, PacketStream]]:
-    """Read all UDP payloads grouped by payload size.
+    """Read all UDP datagrams grouped by payload size.
 
-    Returns list of (payload_size, PacketStream) sorted by descending count.
-    Assumes untagged Ethernet + IPv4 without options for the fast path and
-    falls back to per-packet parsing otherwise.
+    Returns list of (payload_size, PacketStream) sorted by descending
+    count. IPv4 fragments are reassembled — real Ouster lidar packets
+    (12-25 KB) always exceed Ethernet MTU, so raw captures carry them
+    fragmented (the reference relies on ouster-sdk's pcap layer for this).
+
+    The C++ runtime (ptudes_tpu.native) does the split+reassembly in one
+    pass when available; the numpy fallback parses all headers vectorized
+    and only loops over fragmented datagrams.
     """
     data = np.fromfile(path, np.uint8)
+
+    from .. import native
+    res = native.pcap_split_udp(data)
+    if res is not None:
+        arena, offs, lens, ts_ns = res
+        return _group_by_size(arena, offs, lens,
+                              ts_ns.astype(np.float64) * 1e-9)
+
     offsets, lengths, tss = _parse_records(memoryview(data.data))
+    if len(offsets) == 0:
+        return []
 
-    groups: dict[int, list[tuple[int, float]]] = {}
-    for off, ln, ts in zip(offsets, lengths, tss):
-        if ln < ETH_HDR + 20 + 8:
-            continue
-        p = off
-        ethertype = (int(data[p + 12]) << 8) | int(data[p + 13])
-        p += ETH_HDR
-        if ethertype == ETH_VLAN:
-            ethertype = (int(data[p + 2]) << 8) | int(data[p + 3])
-            p += 4
-        if ethertype != ETH_IPV4:
-            continue
-        ihl = (int(data[p]) & 0x0F) * 4
-        proto = int(data[p + 9])
-        if proto != PROTO_UDP:
-            continue
-        p += ihl
-        udp_len = (int(data[p + 4]) << 8) | int(data[p + 5])
-        payload_off = p + 8
-        payload_len = udp_len - 8
-        if payload_off + payload_len > off + ln:
-            payload_len = off + ln - payload_off
-        groups.setdefault(payload_len, []).append((payload_off, ts))
+    # --- vectorized Ethernet/IPv4/UDP header parse over all records
+    big = lambda a, b: (a.astype(np.int64) << 8) | b  # noqa: E731
+    ok = lengths >= ETH_HDR + 20 + 8
+    ethertype = big(data[offsets + 12], data[offsets + 13])
+    is_vlan = ethertype == ETH_VLAN
+    ip_off = offsets + ETH_HDR + np.where(is_vlan, 4, 0)
+    ethertype = np.where(
+        is_vlan, big(data[offsets + 16], data[offsets + 17]), ethertype)
+    ok &= ethertype == ETH_IPV4
+    ihl = (data[ip_off].astype(np.int64) & 0x0F) * 4
+    ok &= data[ip_off + 9] == PROTO_UDP
+    ip_total = big(data[ip_off + 2], data[ip_off + 3])
+    ip_total = np.minimum(ip_total, offsets + lengths - ip_off)
+    fragfield = big(data[ip_off + 6], data[ip_off + 7])
+    mf = (fragfield & 0x2000) != 0
+    frag_off = (fragfield & 0x1FFF) * 8
+    ippay_off = ip_off + ihl
+    ippay_len = np.minimum(ip_total - ihl, offsets + lengths - ippay_off)
+    ok &= ippay_len > 0
 
-    out = []
-    for size, items in groups.items():
-        if size <= 0:
-            continue
-        offs = np.asarray([o for o, _ in items], np.int64)
-        ts = np.asarray([t for _, t in items], np.float64)
-        payloads = data[offs[:, None] + np.arange(size)[None, :]]
-        out.append((size, PacketStream(payloads=payloads, ts=ts)))
-    out.sort(key=lambda kv: -kv[1].payloads.shape[0])
-    return out
+    # unfragmented datagrams: vectorized group-by-size on the raw buffer
+    plain = ok & ~mf & (frag_off == 0)
+    udp_len = big(data[ippay_off + 4], data[ippay_off + 5])
+    pay_off = ippay_off + 8
+    pay_len = np.minimum(udp_len - 8, ippay_len - 8)
+    plain &= pay_len > 0
+
+    arenas = [data]
+    offs_all = [pay_off[plain]]
+    lens_all = [pay_len[plain]]
+    tss_all = [tss[plain]]
+
+    # fragmented datagrams: reassemble (python loop over fragments only)
+    frag_idx = np.where(ok & (mf | (frag_off > 0)))[0]
+    if len(frag_idx):
+        ip_id = big(data[ip_off + 4], data[ip_off + 5])
+        src = data[ip_off[frag_idx, None] + (12 + np.arange(8))[None, :]]
+        keys = [bytes(s) + int(ip_id[i]).to_bytes(2, "big")
+                for s, i in zip(src, frag_idx)]
+        pend: dict[bytes, dict] = {}
+        done_bufs, done_ts = [], []
+        for key, i in zip(keys, frag_idx):
+            st = pend.setdefault(key, {"parts": [], "total": -1, "got": 0})
+            fo, ln = int(frag_off[i]), int(ippay_len[i])
+            st["parts"].append(
+                (fo, data[ippay_off[i]:ippay_off[i] + ln]))
+            st["got"] += ln
+            if not mf[i]:
+                st["total"] = fo + ln
+            if st["total"] >= 0 and st["got"] >= st["total"]:
+                buf = np.zeros(st["total"], np.uint8)
+                for fo2, chunk in st["parts"]:
+                    buf[fo2:fo2 + len(chunk)] = chunk
+                ul = (int(buf[4]) << 8) | int(buf[5])
+                done_bufs.append(buf[8:8 + max(ul - 8, 0)])
+                done_ts.append(tss[i])
+                del pend[key]
+        if done_bufs:
+            frag_arena = np.concatenate(done_bufs)
+            flens = np.asarray([len(b) for b in done_bufs], np.int64)
+            foffs = np.concatenate([[0], np.cumsum(flens)[:-1]])
+            arenas.append(frag_arena)
+            base = len(data)
+            offs_all.append(foffs + base)
+            lens_all.append(flens)
+            tss_all.append(np.asarray(done_ts, np.float64))
+
+    arena = np.concatenate(arenas) if len(arenas) > 1 else data
+    return _group_by_size(
+        arena,
+        np.concatenate(offs_all).astype(np.int64),
+        np.concatenate(lens_all).astype(np.int64),
+        np.concatenate(tss_all),
+    )
 
 
 def write_pcap_udp(
@@ -119,19 +189,46 @@ def write_pcap_udp(
     *,
     src_port: int = 7502,
     dst_port: int = 7502,
+    mtu: int | None = None,
 ) -> None:
-    """Write UDP payloads to a classic pcap (test fixtures / exports)."""
+    """Write UDP payloads to a classic pcap (test fixtures / exports).
+
+    With ``mtu`` set (e.g. 1500), datagrams whose IP length exceeds it are
+    emitted as IPv4 fragments — exactly what real captures of Ouster lidar
+    packets look like (12-25 KB datagrams over 1500-byte Ethernet).
+    """
+    eth = b"\x00" * 12 + struct.pack(">H", ETH_IPV4)
+
+    def ip_hdr(total: int, ip_id: int, flags_frag: int) -> bytes:
+        return struct.pack(
+            ">BBHHHBBH4s4s", 0x45, 0, total, ip_id, flags_frag, 64,
+            PROTO_UDP, 0, bytes([127, 0, 0, 1]), bytes([127, 0, 0, 1]))
+
     with open(path, "wb") as f:
         f.write(struct.pack("<IHHiIII", MAGIC_US, 2, 4, 0, 0, 65535, 1))
+        ip_id = 1
         for ts, payload in packets:
             sec = int(ts)
             usec = int((ts - sec) * 1e6)
-            udp = struct.pack(">HHHH", src_port, dst_port, len(payload) + 8, 0) + payload
-            ip_len = 20 + len(udp)
-            ip = struct.pack(
-                ">BBHHHBBH4s4s", 0x45, 0, ip_len, 0, 0, 64, PROTO_UDP, 0,
-                bytes([127, 0, 0, 1]), bytes([127, 0, 0, 1]))
-            eth = b"\x00" * 12 + struct.pack(">H", ETH_IPV4)
-            frame = eth + ip + udp
-            f.write(struct.pack("<IIII", sec, usec, len(frame), len(frame)))
-            f.write(frame)
+            udp = struct.pack(">HHHH", src_port, dst_port,
+                              len(payload) + 8, 0) + payload
+            if mtu is None or 20 + len(udp) <= mtu:
+                frame = eth + ip_hdr(20 + len(udp), ip_id, 0) + udp
+                f.write(struct.pack("<IIII", sec, usec, len(frame),
+                                    len(frame)))
+                f.write(frame)
+            else:
+                # fragment the IP payload on 8-byte boundaries
+                chunk = ((mtu - 20) // 8) * 8
+                off = 0
+                while off < len(udp):
+                    part = udp[off:off + chunk]
+                    last = off + len(part) >= len(udp)
+                    flags_frag = (0 if last else 0x2000) | (off // 8)
+                    frame = eth + ip_hdr(20 + len(part), ip_id,
+                                         flags_frag) + part
+                    f.write(struct.pack("<IIII", sec, usec, len(frame),
+                                        len(frame)))
+                    f.write(frame)
+                    off += len(part)
+            ip_id = (ip_id + 1) & 0xFFFF

@@ -74,46 +74,40 @@ def read_newer_college_gt(
     return [(t, p) for t, p in zip(ts, poses)]
 
 
+def _nearest_idx(sorted_t: np.ndarray, query_t: np.ndarray) -> np.ndarray:
+    """Index of the nearest element of ``sorted_t`` for each query."""
+    if len(sorted_t) == 1:
+        return np.zeros(len(query_t), np.int64)
+    j = np.clip(np.searchsorted(sorted_t, query_t), 1, len(sorted_t) - 1)
+    left_closer = (np.abs(sorted_t[j - 1] - query_t)
+                   <= np.abs(sorted_t[j] - query_t))
+    return j - left_closer.astype(np.int64)
+
+
 def filter_nc_gt_by_close_ts(nc_gt, gt_t):
-    """Greedy nearest-timestamp matching of two non-decreasing streams
-    (reference ``src/ptudes/utils.py:255-302``)."""
+    """Nearest-timestamp matching of two non-decreasing streams — same
+    pairs as the reference's greedy iterator walk
+    (``src/ptudes/utils.py:255-302``), computed vectorized: a pair matches
+    iff the timestamps are MUTUAL nearest neighbors within ``min_dt`` (the
+    smaller of the two streams' minimum sample spacings), which is exactly
+    the fixed point the greedy two-pointer algorithm advances to."""
     if not len(nc_gt):
         return nc_gt, []
     if not len(gt_t):
         return [], []
-    nc_t = [g[0] for g in nc_gt]
-    min_nc_t = np.min(np.diff(np.asarray(nc_t))) if len(nc_t) > 1 else np.inf
-    min_gt_t = np.min(np.diff(np.asarray(gt_t))) if len(gt_t) > 1 else np.inf
+    nc_t = np.asarray([g[0] for g in nc_gt], np.float64)
+    gt_arr = np.asarray(gt_t, np.float64)
+    min_nc_t = np.min(np.diff(nc_t)) if len(nc_t) > 1 else np.inf
+    min_gt_t = np.min(np.diff(gt_arr)) if len(gt_arr) > 1 else np.inf
     min_dt = min(min_nc_t, min_gt_t)
 
-    res_nc_gt, res_gt_t = [], []
-    nc_it, gt_it = iter(nc_gt), iter(gt_t)
-    n_t = next(nc_it)
-    g_t = next(gt_it)
-    try:
-        while True:
-            while abs(n_t[0] - g_t) > min_dt:
-                while n_t[0] < g_t - min_dt:
-                    n_t = next(nc_it)
-                while g_t < n_t[0] - min_dt:
-                    g_t = next(gt_it)
-            if n_t[0] < g_t:
-                n_t2 = next(nc_it)
-                if abs(n_t[0] - g_t) < abs(n_t2[0] - g_t):
-                    res_nc_gt.append(n_t)
-                    res_gt_t.append(g_t)
-                    n_t = n_t2
-                    g_t = next(gt_it)
-            else:
-                g_t2 = next(gt_it)
-                if abs(n_t[0] - g_t) < abs(n_t[0] - g_t2):
-                    res_nc_gt.append(n_t)
-                    res_gt_t.append(g_t)
-                    n_t = next(nc_it)
-                    g_t = g_t2
-    except StopIteration:
-        pass
-    return res_nc_gt, res_gt_t
+    j_of_i = _nearest_idx(gt_arr, nc_t)      # nearest gt for each nc
+    i_of_j = _nearest_idx(nc_t, gt_arr)      # nearest nc for each gt
+    ii = np.arange(len(nc_t))
+    mutual = (i_of_j[j_of_i] == ii) & (
+        np.abs(gt_arr[j_of_i] - nc_t) <= min_dt)
+    idx = ii[mutual]
+    return [nc_gt[i] for i in idx], [gt_t[j] for j in j_of_i[idx]]
 
 
 def filter_nc_gt_by_cmp(nc_gt, nc_gt_cmp):

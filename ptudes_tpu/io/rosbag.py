@@ -149,23 +149,55 @@ class RosbagReader:
         )
 
     def scan_connections(self) -> list[Connection]:
-        """Read connection records (headers only pass over each file)."""
+        """Discover every connection record in each file.
+
+        Fast path: seek to ``index_pos`` from the bag header — rosbag
+        record writes the full connection-record section there after the
+        chunks. Fallback (index_pos == 0, e.g. an unindexed/crashed bag):
+        scan ALL records including inside every chunk — a topic whose
+        first message lands in a later chunk must still be discovered.
+        """
         for path in self.paths:
             with open(path, "rb") as f:
                 f.readline()
-                for header, data in self._iter_records(f):
-                    op = header.get(b"op", b"\x00")[0]
+                start = f.tell()
+                recs = self._iter_records(f)
+                try:
+                    header, _ = next(recs)
+                except StopIteration:
+                    continue
+                index_pos = 0
+                if (header.get(b"op", b"\x00")[0] == OP_BAG_HEADER
+                        and b"index_pos" in header):
+                    (index_pos,) = struct.unpack("<Q", header[b"index_pos"])
+
+                if index_pos:
+                    f.seek(index_pos)
+                    for h2, d2 in self._iter_records(f):
+                        if h2.get(b"op", b"\x00")[0] == OP_CONNECTION:
+                            self._add_connection(h2, d2)
+                    continue
+
+                f.seek(start)
+                for h, data in self._iter_records(f):
+                    op = h.get(b"op", b"\x00")[0]
                     if op == OP_CONNECTION:
-                        self._add_connection(header, data)
+                        self._add_connection(h, data)
                     elif op == OP_CHUNK:
-                        comp = header.get(b"compression", b"none").decode()
+                        comp = h.get(b"compression", b"none").decode()
                         if comp == "bz2":
                             data = bz2.decompress(data)
-                        if comp in ("none", "bz2"):
-                            for h2, d2 in self._iter_chunk(data):
-                                if h2.get(b"op", b"\x00")[0] == OP_CONNECTION:
-                                    self._add_connection(h2, d2)
-                        break  # first chunk is enough for discovery
+                        elif comp == "lz4":
+                            try:
+                                import lz4.frame  # noqa
+                                data = lz4.frame.decompress(data)
+                            except ImportError:
+                                continue  # discovery best-effort
+                        elif comp != "none":
+                            continue
+                        for h2, d2 in self._iter_chunk(data):
+                            if h2.get(b"op", b"\x00")[0] == OP_CONNECTION:
+                                self._add_connection(h2, d2)
         return list(self.connections.values())
 
 
@@ -212,10 +244,19 @@ def serialize_imu_msg(ts_sec: float, lacc, avel, frame_id: str = "imu") -> bytes
 def write_simple_bag(
     path: str,
     messages: list[tuple[str, str, str, int, bytes]],
+    *,
+    messages_per_chunk: int | None = None,
+    write_index: bool = False,
 ) -> None:
     """Write a minimal uncompressed ROS1 bag (test fixtures).
 
     messages: list of (topic, msgtype, md5sum, ts_ns, raw).
+
+    ``messages_per_chunk`` splits the stream into several chunks; each
+    topic's connection record is embedded only in the chunk where the
+    topic FIRST appears (rosbag record behavior). ``write_index`` appends
+    the trailing connection-record section and points the bag header's
+    ``index_pos`` at it (what real indexed bags have).
     """
     def rec(header_fields: dict[bytes, bytes], data: bytes) -> bytes:
         hdr = b"".join(
@@ -229,8 +270,8 @@ def write_simple_bag(
         topics.setdefault(topic, (msgtype, md5))
     conn_ids = {t: i for i, t in enumerate(topics)}
 
-    chunk = b""
-    for topic, (msgtype, md5) in topics.items():
+    def conn_rec(topic: str) -> bytes:
+        msgtype, md5 = topics[topic]
         conn_data = b"".join(
             struct.pack("<I", len(k) + 1 + len(v)) + k + b"=" + v
             for k, v in {
@@ -240,32 +281,59 @@ def write_simple_bag(
                 b"message_definition": b"",
             }.items()
         )
-        chunk += rec(
+        return rec(
             {b"op": bytes([OP_CONNECTION]),
              b"conn": struct.pack("<I", conn_ids[topic]),
              b"topic": topic.encode()},
             conn_data,
         )
-    for topic, msgtype, md5, ts_ns, raw in messages:
-        chunk += rec(
-            {b"op": bytes([OP_MESSAGE_DATA]),
-             b"conn": struct.pack("<I", conn_ids[topic]),
-             b"time": struct.pack("<Q", ts_ns)},
-            raw,
-        )
 
-    with open(path, "wb") as f:
-        f.write(b"#ROSBAG V2.0\n")
-        f.write(rec(
-            {b"op": bytes([OP_BAG_HEADER]),
-             b"index_pos": struct.pack("<Q", 0),
-             b"conn_count": struct.pack("<I", len(topics)),
-             b"chunk_count": struct.pack("<I", 1)},
-            b" " * 4096,  # spec pads the header record
-        ))
-        f.write(rec(
-            {b"op": bytes([OP_CHUNK]),
+    per = messages_per_chunk or len(messages) or 1
+    chunks = []
+    seen: set[str] = set()
+    for c0 in range(0, max(len(messages), 1), per):
+        chunk = b""
+        for topic, msgtype, md5, ts_ns, raw in messages[c0:c0 + per]:
+            if topic not in seen:
+                seen.add(topic)
+                chunk += conn_rec(topic)
+            chunk += rec(
+                {b"op": bytes([OP_MESSAGE_DATA]),
+                 b"conn": struct.pack("<I", conn_ids[topic]),
+                 b"time": struct.pack("<Q", ts_ns)},
+                raw,
+            )
+        chunks.append(chunk)
+
+    header_rec_placeholder = rec(
+        {b"op": bytes([OP_BAG_HEADER]),
+         b"index_pos": struct.pack("<Q", 0),
+         b"conn_count": struct.pack("<I", len(topics)),
+         b"chunk_count": struct.pack("<I", len(chunks))},
+        b" " * 4096,  # spec pads the header record
+    )
+    body = b"".join(
+        rec({b"op": bytes([OP_CHUNK]),
              b"compression": b"none",
              b"size": struct.pack("<I", len(chunk))},
-            chunk,
-        ))
+            chunk)
+        for chunk in chunks)
+    magic = b"#ROSBAG V2.0\n"
+    index_pos = 0
+    if write_index:
+        index_pos = len(magic) + len(header_rec_placeholder) + len(body)
+    header_rec = rec(
+        {b"op": bytes([OP_BAG_HEADER]),
+         b"index_pos": struct.pack("<Q", index_pos),
+         b"conn_count": struct.pack("<I", len(topics)),
+         b"chunk_count": struct.pack("<I", len(chunks))},
+        b" " * 4096,
+    )
+    assert len(header_rec) == len(header_rec_placeholder)
+    with open(path, "wb") as f:
+        f.write(magic)
+        f.write(header_rec)
+        f.write(body)
+        if write_index:
+            for topic in topics:
+                f.write(conn_rec(topic))

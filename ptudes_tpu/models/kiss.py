@@ -191,11 +191,13 @@ def register_scan(
     model_sse = state.model_sse + jnp.where(accum, err * err, 0.0)
     num_samples = state.num_samples + accum.astype(jnp.int32)
 
-    # 8. map update at the new pose + distance eviction
+    # 8. map update at the new pose + distance eviction (occupancy-deduped:
+    #    frame_ds is 0.5*vs-unique, so scatters run only on new points)
     frame_w = se3.transform(new_pose, frame_ds)
-    local_map = hashmap.insert(
+    local_map = hashmap.insert_deduped(
         state.local_map, frame_w, frame_mask,
         voxel_size=vs, max_probes=cap.max_probes,
+        new_capacity=cap.max_new_per_scan,
     )
     local_map = hashmap.remove_far(
         local_map, se3.trans(new_pose),

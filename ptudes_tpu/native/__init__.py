@@ -53,7 +53,9 @@ def get_lib():
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     lib.pcap_split_udp.restype = i64
-    lib.pcap_split_udp.argtypes = [u8p, i64, i64p, i64p, i64p, i64]
+    lib.pcap_split_udp.argtypes = [
+        u8p, i64, u8p, i64, i64p, i64p, i64p, i64,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.parse_legacy.restype = None
     lib.parse_legacy.argtypes = [
         u8p, i64, i64, ctypes.c_int32, ctypes.c_int32,
@@ -72,6 +74,8 @@ def get_lib():
     lib.parse_imu.argtypes = [
         u8p, i64, i64,
         np.ctypeslib.ndpointer(np.uint64, flags="C"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C"),
         np.ctypeslib.ndpointer(np.float32, flags="C"),
         np.ctypeslib.ndpointer(np.float32, flags="C"),
     ]
@@ -80,24 +84,32 @@ def get_lib():
 
 
 def pcap_split_udp(data: np.ndarray):
-    """Split a pcap byte buffer into UDP payload (offsets, lengths, ts_ns);
-    returns None if the native library is unavailable or the capture is
-    unsupported (big-endian)."""
+    """Split a pcap byte buffer into reassembled UDP datagrams.
+
+    Returns (arena bytes, offsets, lengths, ts_ns) — datagram i is
+    ``arena[offsets[i]:offsets[i]+lengths[i]]`` — or None if the native
+    library is unavailable or the capture is unsupported (big-endian).
+    IPv4 fragments are reassembled (real Ouster lidar packets exceed MTU).
+    """
     lib = get_lib()
     if lib is None:
         return None
     data = np.ascontiguousarray(data, np.uint8)
+    empty8 = np.zeros(0, np.uint8)
+    empty64 = np.zeros(0, np.int64)
+    used = ctypes.c_int64(0)
     n = lib.pcap_split_udp(
-        data, len(data),
-        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64),
-        0)
+        data, len(data), empty8, 0, empty64, empty64, empty64, 0,
+        ctypes.byref(used))
     if n < 0:
         return None
+    arena = np.zeros(used.value, np.uint8)
     offs = np.zeros(n, np.int64)
     lens = np.zeros(n, np.int64)
     ts = np.zeros(n, np.int64)
-    lib.pcap_split_udp(data, len(data), offs, lens, ts, n)
-    return offs, lens, ts
+    lib.pcap_split_udp(data, len(data), arena, used.value, offs, lens, ts,
+                       n, ctypes.byref(used))
+    return arena, offs, lens, ts
 
 
 def parse_lidar(profile: str, payloads: np.ndarray, h: int, cpp: int):
@@ -137,8 +149,11 @@ def parse_imu(payloads: np.ndarray):
     payloads = np.ascontiguousarray(payloads, np.uint8)
     n = payloads.shape[0]
     sys_ts = np.zeros(n, np.uint64)
+    accel_ts = np.zeros(n, np.uint64)
+    gyro_ts = np.zeros(n, np.uint64)
     accel = np.zeros((n, 3), np.float32)
     avel = np.zeros((n, 3), np.float32)
-    lib.parse_imu(payloads, n, payloads.shape[1], sys_ts,
+    lib.parse_imu(payloads, n, payloads.shape[1], sys_ts, accel_ts, gyro_ts,
                   accel.reshape(-1), avel.reshape(-1))
-    return {"sys_ts": sys_ts, "accel_g": accel, "avel_deg": avel}
+    return {"sys_ts": sys_ts, "accel_ts": accel_ts, "gyro_ts": gyro_ts,
+            "accel_g": accel, "avel_deg": avel}

@@ -17,13 +17,36 @@ extern "C" {
 
 // ---------------------------------------------------------------- pcap
 
-// Scan a classic pcap buffer and record (offset, length, ts_ns) of every
-// UDP payload. Returns the number of payloads found, or -1 on a malformed
-// header. Offsets/lengths/ts arrays must hold at least `max_out` entries;
-// call once with max_out=0 to count.
+// Scan a classic pcap buffer, REASSEMBLE IPv4 fragments, and write every
+// UDP payload contiguously into `arena`. Real Ouster lidar packets
+// (12-25 KB) exceed Ethernet MTU and arrive fragmented; the reference's
+// ouster-sdk pcap layer reassembles them, so must we.
+//
+// Two-pass protocol (ctypes-friendly, zero allocations inside):
+//   pass 1: arena_cap = 0, max_out = 0 -> returns datagram count and sets
+//           *arena_used to the total payload bytes needed;
+//   pass 2: with arena/offsets/lengths/ts_ns sized accordingly -> fills.
+// Returns -1 on malformed/unsupported (big-endian) captures.
+//
+// Reassembly model: up to RS_SLOTS concurrent (src, dst, ip_id) datagrams,
+// in-order or out-of-order fragments, no overlap handling (never produced
+// by sensors); incomplete datagrams are dropped.
+namespace {
+constexpr int RS_SLOTS = 8;
+constexpr int64_t RS_MAX = 65536;
+struct Reasm {
+    uint64_t key = 0;       // src^dst^(id<<32), 0 = free
+    int64_t got = 0;        // bytes received so far
+    int64_t total = -1;     // total IP payload bytes (known at last frag)
+    int64_t ts_ns = 0;
+    uint8_t buf[RS_MAX];
+};
+}  // namespace
+
 int64_t pcap_split_udp(const uint8_t* data, int64_t len,
+                       uint8_t* arena, int64_t arena_cap,
                        int64_t* offsets, int64_t* lengths, int64_t* ts_ns,
-                       int64_t max_out) {
+                       int64_t max_out, int64_t* arena_used) {
     if (len < 24) return -1;
     uint32_t magic;
     std::memcpy(&magic, data, 4);
@@ -32,8 +55,25 @@ int64_t pcap_split_udp(const uint8_t* data, int64_t len,
     else if (magic == 0xa1b23c4du) frac_scale = 1.0;      // nsec
     else return -1;  // big-endian captures: fall back to python path
 
+    static thread_local Reasm slots[RS_SLOTS];
+    for (auto& s : slots) { s.key = 0; s.got = 0; s.total = -1; }
+
     int64_t pos = 24;
     int64_t n = 0;
+    int64_t used = 0;
+
+    auto emit = [&](const uint8_t* payload, int64_t plen, int64_t t) {
+        if (plen <= 0) return;
+        if (n < max_out && used + plen <= arena_cap) {
+            std::memcpy(arena + used, payload, plen);
+            offsets[n] = used;
+            lengths[n] = plen;
+            ts_ns[n] = t;
+        }
+        used += plen;
+        n++;
+    };
+
     while (pos + 16 <= len) {
         uint32_t sec, frac, incl;
         std::memcpy(&sec, data + pos, 4);
@@ -54,21 +94,54 @@ int64_t pcap_split_udp(const uint8_t* data, int64_t len,
         if (ethertype != 0x0800) continue;           // IPv4 only
         int ihl = (ip[0] & 0x0F) * 4;
         if (ip[9] != 17) continue;                   // UDP
-        const uint8_t* udp = ip + ihl;
-        int64_t udp_len = (udp[4] << 8) | udp[5];
-        int64_t payload_off = (udp + 8) - data;
-        int64_t payload_len = udp_len - 8;
-        if (payload_off + payload_len > rec_end)
-            payload_len = rec_end - payload_off;
-        if (payload_len <= 0) continue;
-        if (n < max_out) {
-            offsets[n] = payload_off;
-            lengths[n] = payload_len;
-            ts_ns[n] = (int64_t)sec * 1000000000LL
-                       + (int64_t)(frac * frac_scale);
+        int64_t t = (int64_t)sec * 1000000000LL + (int64_t)(frac * frac_scale);
+        int64_t ip_total = (ip[2] << 8) | ip[3];
+        if (ip_total > rec_end - ((ip - data))) ip_total = rec_end - (ip - data);
+        const uint8_t* ippay = ip + ihl;
+        int64_t ippay_len = ip_total - ihl;
+        if (ippay + ippay_len > data + rec_end)
+            ippay_len = (data + rec_end) - ippay;
+        if (ippay_len <= 0) continue;
+
+        uint16_t fragfield = (uint16_t)((ip[6] << 8) | ip[7]);
+        bool mf = fragfield & 0x2000;
+        int64_t frag_off = (int64_t)(fragfield & 0x1FFF) * 8;
+
+        if (!mf && frag_off == 0) {                  // unfragmented
+            int64_t udp_len = (ippay[4] << 8) | ippay[5];
+            int64_t plen = udp_len - 8;
+            if (plen > ippay_len - 8) plen = ippay_len - 8;
+            emit(ippay + 8, plen, t);
+            continue;
         }
-        n++;
+
+        // fragment: find / claim a reassembly slot
+        uint32_t src, dst;
+        std::memcpy(&src, ip + 12, 4);
+        std::memcpy(&dst, ip + 16, 4);
+        uint64_t key = ((uint64_t)(uint16_t)((ip[4] << 8) | ip[5]) << 32)
+                       ^ src ^ ((uint64_t)dst << 13) ^ 1;
+        Reasm* slot = nullptr;
+        for (auto& s : slots) if (s.key == key) { slot = &s; break; }
+        if (!slot) {
+            for (auto& s : slots) if (s.key == 0) { slot = &s; break; }
+            if (!slot) slot = &slots[0];             // evict oldest-ish
+            slot->key = key; slot->got = 0; slot->total = -1;
+        }
+        if (frag_off + ippay_len > RS_MAX) { slot->key = 0; continue; }
+        std::memcpy(slot->buf + frag_off, ippay, ippay_len);
+        slot->got += ippay_len;
+        slot->ts_ns = t;                             // last fragment's ts
+        if (!mf) slot->total = frag_off + ippay_len;
+        if (slot->total >= 0 && slot->got >= slot->total) {
+            int64_t udp_len = (slot->buf[4] << 8) | slot->buf[5];
+            int64_t plen = udp_len - 8;
+            if (plen > slot->total - 8) plen = slot->total - 8;
+            emit(slot->buf + 8, plen, slot->ts_ns);
+            slot->key = 0;
+        }
     }
+    if (arena_used) *arena_used = used;
     return n;
 }
 
@@ -150,12 +223,17 @@ void parse_rng19(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
     }
 }
 
-// IMU packets: 48 B — 3 x u64 ts + 3 x f32 accel(g) + 3 x f32 gyro(deg/s)
+// IMU packets: 48 B — 3 x u64 ts + 3 x f32 accel(g) + 3 x f32 gyro(deg/s).
+// accel/gyro timestamps decoded too (offsets 8/16) so the native and numpy
+// paths return identical fields.
 void parse_imu(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
-               uint64_t* sys_ts, float* accel_g, float* avel_deg) {
+               uint64_t* sys_ts, uint64_t* accel_ts, uint64_t* gyro_ts,
+               float* accel_g, float* avel_deg) {
     for (int64_t i = 0; i < n_pkts; i++) {
         const uint8_t* p = pkts + i * pkt_stride;
         std::memcpy(&sys_ts[i], p, 8);
+        std::memcpy(&accel_ts[i], p + 8, 8);
+        std::memcpy(&gyro_ts[i], p + 16, 8);
         std::memcpy(&accel_g[i * 3], p + 24, 12);
         std::memcpy(&avel_deg[i * 3], p + 36, 12);
     }

@@ -141,15 +141,20 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
         err = kiss._model_error(dev, kcfg.max_range)
         accum = err > kcfg.min_motion_th
 
-        # map update: all-gather the frame so replicas insert identically
+        # map update: all-gather the frame so replicas insert identically;
+        # re-dedup at 0.5*vs — per-shard dedup can leave cross-shard octant
+        # duplicates, which insert_deduped's uniqueness precondition forbids
         frame_w = se3.transform(new_pose, frame_ds)
         frame_all = jax.lax.all_gather(
             frame_w, "pt", axis=0, tiled=True)
         fmask_all = jax.lax.all_gather(
             frame_mask, "pt", axis=0, tiled=True)
-        local_map = hashmap.insert(
+        fmask_all = voxel.first_in_voxel_mask(
+            frame_all, fmask_all, vs * 0.5, cap.dedup_table)
+        local_map = hashmap.insert_deduped(
             kstate.local_map, frame_all, fmask_all,
-            voxel_size=vs, max_probes=cap.max_probes)
+            voxel_size=vs, max_probes=cap.max_probes,
+            new_capacity=cap.max_new_per_scan)
         local_map = hashmap.remove_far(
             local_map, se3.trans(new_pose),
             jnp.asarray(kcfg.max_range**2, jnp.float32))

@@ -141,11 +141,27 @@ def sequence_stats(
     use_beams_num: int | None = 32,
     range_unit_m: float = 0.001,
 ) -> StreamStatsTracker:
-    """One-shot stats over dense arrays — same numbers, vectorized."""
+    """One-shot stats over dense arrays — same numbers, truly vectorized.
+
+    The IMU mean/std are closed-form over the whole array (what the
+    Welford recurrence converges to); the scan ranges reduce in one masked
+    pass. Only the per-scan two-group merge loop remains (N_scans
+    iterations over already-reduced scalars, not per-point work).
+    """
     t = StreamStatsTracker(use_beams_num=use_beams_num,
                            range_unit_m=range_unit_m)
-    for i in range(len(imu_ts)):
-        t.track_imu(imu_lacc[i], imu_avel[i], float(imu_ts[i]))
+    m = len(imu_ts)
+    if m:
+        lacc = np.asarray(imu_lacc, np.float64).reshape(m, 3)
+        avel = np.asarray(imu_avel, np.float64).reshape(m, 3)
+        t._mean_acc = lacc.mean(axis=0)
+        t._mean_gyr = avel.mean(axis=0)
+        # Welford's sigman accumulator == sum of squared deviations
+        t._sigman_acc = ((lacc - t._mean_acc) ** 2).sum(axis=0)
+        t._sigman_gyr = ((avel - t._mean_gyr) ** 2).sum(axis=0)
+        t._imu_num = m
+        t._min_ts = float(np.min(imu_ts))
+        t._max_ts = float(np.max(imu_ts))
     for i in range(len(scan_ts)):
         t.track_scan(range_mm[i], float(scan_ts[i]))
     return t

@@ -2,7 +2,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from ptudes_tpu.ops import hashmap
+from ptudes_tpu.ops import hashmap, voxel
 
 RNG = np.random.default_rng(7)
 VS = 1.0
@@ -149,3 +149,52 @@ def test_load_factor_contract():
         voxel_size=VS, max_probes=16,
     )
     assert int(hashmap.num_points(m2)) >= 0.99 * len(coords)
+
+
+def test_insert_deduped_matches_generic():
+    """On an octant-unique batch, insert_deduped stores the same point set
+    as the generic insert (order within a voxel may differ)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+    keep = voxel.first_in_voxel_mask(
+        jnp.asarray(pts), jnp.ones(5000, bool), 0.25, 1 << 16)
+    m1 = hashmap.insert(hashmap.create(1 << 14, 8), jnp.asarray(pts), keep,
+                        voxel_size=0.5, max_probes=2)
+    m2 = hashmap.insert_deduped(hashmap.create(1 << 14, 8), jnp.asarray(pts),
+                                keep, voxel_size=0.5, max_probes=2,
+                                new_capacity=8192)
+    assert int(hashmap.num_points(m1)) == int(hashmap.num_points(m2))
+    assert int(hashmap.num_voxels(m1)) == int(hashmap.num_voxels(m2))
+
+    def stored(m):
+        meta = np.asarray(m.meta)
+        p = np.asarray(m.points)
+        out = []
+        for s in np.nonzero(meta[:, 1] > 0)[0]:
+            for k in range(meta[s, 1]):
+                out.append(tuple(np.round(p[s, k], 4)))
+        return sorted(out)
+
+    assert stored(m1) == stored(m2)
+
+
+def test_insert_deduped_skips_present_octants():
+    """Re-inserting the same frame adds nothing; eviction clears occupancy
+    so octants can be refilled."""
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    keep = voxel.first_in_voxel_mask(
+        jnp.asarray(pts), jnp.ones(2000, bool), 0.25, 1 << 16)
+    m = hashmap.insert_deduped(hashmap.create(1 << 13, 8), jnp.asarray(pts),
+                               keep, voxel_size=0.5, max_probes=2)
+    n1 = int(hashmap.num_points(m))
+    assert n1 > 1000
+    m2 = hashmap.insert_deduped(m, jnp.asarray(pts), keep,
+                                voxel_size=0.5, max_probes=2)
+    assert int(hashmap.num_points(m2)) == n1
+    m3 = hashmap.remove_far(m2, jnp.asarray([100.0, 100.0, 100.0]),
+                            jnp.asarray(1.0))
+    assert int(hashmap.num_points(m3)) == 0
+    m4 = hashmap.insert_deduped(m3, jnp.asarray(pts), keep,
+                                voxel_size=0.5, max_probes=2)
+    assert int(hashmap.num_points(m4)) == n1

@@ -167,6 +167,37 @@ class TestRosbag:
         assert np.allclose(imu.avel[0], [0.01, 0.02, 0.03])
         assert np.isclose(imu.ts[0], 100.0)
 
+    @pytest.mark.parametrize("write_index", [False, True])
+    def test_multichunk_topic_discovery(self, tmp_path, write_index):
+        """Regression: a topic whose first message lands in a later chunk
+        (standard rosbag record output) must still be discovered — both
+        via the trailing index section and by full-chunk scan."""
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        msgs = []
+        for ts, p in payloads:
+            raw = np.uint32(len(p)).tobytes() + p
+            msgs.append(("/os_node/lidar_packets", "ouster_ros/msg/PacketMsg",
+                         bag_io.OUSTER_PACKETMSG_MD5, int(ts * 1e9), raw))
+        # IMU messages appended at the END -> first appear in a late chunk
+        for i in range(3):
+            imu_buf = pkt.make_imu_packet(int(2e9 + i), [0, 0, 1.0],
+                                          [0, 0, 10.0])
+            msgs.append(("/os_node/imu_packets", "ouster_ros/msg/PacketMsg",
+                         bag_io.OUSTER_PACKETMSG_MD5, int(2e9 + i),
+                         np.uint32(len(imu_buf)).tobytes() + imu_buf))
+        path = str(tmp_path / "chunked.bag")
+        bag_io.write_simple_bag(path, msgs, messages_per_chunk=5,
+                                write_index=write_index)
+
+        conns = bag_io.RosbagReader(path).scan_connections()
+        topics = sorted(c.topic for c in conns)
+        assert topics == ["/os_node/imu_packets", "/os_node/lidar_packets"]
+
+        scans, imu = sources.read_ouster_bag(path, info)
+        assert np.array_equal(scans.range_mm, truth)
+        assert len(imu) == 3
+
     def test_imu_msg_codec(self):
         raw = bag_io.serialize_imu_msg(42.5, [1, 2, 3], [4, 5, 6], "frame")
         t, la, av = bag_io.parse_imu_msg(raw)
@@ -294,9 +325,56 @@ class TestNative:
         data = np.fromfile(path, np.uint8)
         res = native.pcap_split_udp(data)
         assert res is not None
-        offs, lens, ts = res
+        arena, offs, lens, ts = res
         assert len(offs) == len(payloads)
         assert (lens == pkt.lidar_packet_size(info)).all()
+        assert bytes(arena[offs[0]:offs[0] + lens[0]]) == payloads[0][1]
+
+    def test_fragmented_capture_native_vs_numpy(self, tmp_path):
+        """Real lidar packets exceed MTU and arrive IP-fragmented; both the
+        C++ splitter and the numpy fallback must reassemble identically."""
+        from ptudes_tpu import native
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        pkts = list(payloads)
+        for i in range(10):
+            pkts.append(
+                (2.0 + i * 0.01,
+                 pkt.make_imu_packet(int(2e9 + i * 1e7),
+                                     [0.0, 0.0, 1.0], [1.0, 2.0, 3.0])))
+        pkts.sort(key=lambda p: p[0])
+        path = str(tmp_path / "frag.pcap")
+        pcap_io.write_pcap_udp(path, pkts, mtu=1500)
+
+        # numpy fallback path (force by monkeypatching native away)
+        import ptudes_tpu.native as native_mod
+        orig = native_mod.pcap_split_udp
+        native_mod.pcap_split_udp = lambda data: None
+        try:
+            streams_np = dict(pcap_io.read_pcap_udp(path))
+        finally:
+            native_mod.pcap_split_udp = orig
+
+        lsize = pkt.lidar_packet_size(info)
+        assert lsize in streams_np, (
+            f"fragmented lidar stream not reassembled; sizes "
+            f"{sorted(streams_np)}")
+        assert streams_np[lsize].payloads.shape[0] == len(payloads)
+        assert pkt.IMU_PACKET_SIZE in streams_np
+
+        if native.get_lib() is not None:
+            streams_nat = dict(pcap_io.read_pcap_udp(path))
+            assert sorted(streams_nat) == sorted(streams_np)
+            for size in streams_np:
+                assert np.array_equal(streams_nat[size].payloads,
+                                      streams_np[size].payloads)
+                assert np.allclose(streams_nat[size].ts,
+                                   streams_np[size].ts, atol=1e-6)
+
+        # end-to-end: the fragmented capture decodes to the same scans
+        scans, imu = sources.read_ouster_pcap(path, info)
+        assert np.array_equal(scans.range_mm, truth)
+        assert len(imu) == 10
 
     def test_native_imu(self):
         from ptudes_tpu import native

@@ -128,7 +128,9 @@ def generate(outdir: str, n_scans: int = 30, h: int = 32, w: int = 512,
 
     payloads.sort(key=lambda p: p[0])
     pcap_path = os.path.join(outdir, "fixture.pcap")
-    pcap_io.write_pcap_udp(pcap_path, payloads)
+    # mtu=1500: lidar packets exceed Ethernet MTU and are IP-fragmented,
+    # exactly like real captures — exercises the reassembly path
+    pcap_io.write_pcap_udp(pcap_path, payloads, mtu=1500)
 
     meta_path = os.path.join(outdir, "fixture.json")
     with open(meta_path, "w") as f:

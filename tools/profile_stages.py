@@ -144,6 +144,31 @@ def main():
     print(f"query (1 iter):    {t_query:8.3f} ms   "
           f"x{args.iters} = {t_query * args.iters:.1f} ms")
 
+    # cached-candidate gather (once per scan) + one dense GN iteration
+    def cbody(s_):
+        c = icp.gather_candidates(
+            state.local_map, s_, voxel_size=vs, max_probes=cap.max_probes,
+            neighborhood=27, n_voxels=kcfg.nn_voxels,
+            fit_planes=True, plane_radius=kcfg.plane_fit_radius)
+        return s_ + c.pts[0, 0] * 1e-12
+    t = timeit_looped(cbody, source)
+    print(f"gather_candidates: {t:8.3f} ms   (once per scan)")
+
+    cand0 = jax.jit(lambda: icp.gather_candidates(
+        state.local_map, source, voxel_size=vs, max_probes=cap.max_probes,
+        neighborhood=27, n_voxels=kcfg.nn_voxels, fit_planes=True,
+        plane_radius=kcfg.plane_fit_radius))()
+    def dbody(g_):
+        jtj, jtr, nc, tw = icp.gn_from_candidates(
+            g_, source, source_mask, cand0, jnp.asarray(0.1667),
+            jnp.asarray(2.25), loss=kcfg.loss,
+            plane_min_quality=kcfg.plane_min_quality)
+        dx = jnp.linalg.solve(jtj + jnp.eye(6) * 1e-8, -jtr)
+        from ptudes_tpu.geom import se3 as _se3
+        return _se3.exp_twist(dx * 1e-12) @ g_
+    t = timeit_looped(dbody, guess)
+    print(f"dense GN iter:     {t:8.3f} ms   (per ICP iteration)")
+
     # GN build alone (correspondences fixed)
     q0 = jax.jit(lambda s_: hashmap.query(
         state.local_map, s_, voxel_size=vs, max_probes=cap.max_probes,
