@@ -67,9 +67,11 @@ def bench_config():
                         max_points_per_voxel=16, max_iterations=20,
                         deskew=True, loss="plane",
                         voxel_size=0.3, plane_fit_radius=0.6,
-                        nn_mode="cached", nn_voxels=4),
+                        nn_mode="cached", nn_voxels=4,
+                        nn_neighborhood=7),
         cap=Capacity(max_points=H * W, max_frame=32768, max_source=8192,
-                     map_capacity=1 << 19, dedup_table=1 << 20),
+                     map_capacity=1 << 19, dedup_table=1 << 20,
+                     max_new_per_scan=4096),
         ekf=EkfConfig(),
         max_imu_per_scan=16,
         guess="ekf",

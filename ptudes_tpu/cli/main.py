@@ -248,11 +248,15 @@ def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
 @click.option("--save-nc-gt-poses", type=click.Path(), default=None)
 @click.option("--save-map-ply", type=click.Path(), default=None,
               help="Export the final local map as PLY")
+@click.option("--save-debug-scene", type=click.Path(), default=None,
+              help="Export per-update EKF debug scenes (PLY+JSON) to DIR "
+              "(replaces the reference's 3D ekf_viz debug viewer)")
+@click.option("--debug-scene-stride", type=int, default=5)
 @click.option("-p", "--plot", type=str, default=None)
 def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
                    beams, loss, save_kitti_poses, save_nc_gt_poses,
-                   save_map_ply, plot):
+                   save_map_ply, save_debug_scene, debug_scene_stride, plot):
     """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
     ES-EKF smoothing (reference ``ekf-bench ouster``,
     ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
@@ -331,6 +335,12 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         from ..viz.cloud import map_to_points, save_ply
         save_ply(save_map_ply, map_to_points(fin.kiss.local_map))
         print(f"Local map saved to: {save_map_ply}")
+    if save_debug_scene:
+        from ..viz.debug_scene import export_debug_scenes
+        idx = export_debug_scenes(save_debug_scene, cfg, lut, batches,
+                                  stride=debug_scene_stride)
+        print(f"Debug scenes ({len(idx['knots'])} knots) saved to: "
+              f"{save_debug_scene}")
 
     if gts:
         gts_m, res_t_m = filter_nc_gt_by_close_ts(gts, list(res_t))

@@ -23,6 +23,7 @@ from .. import GRAV
 from . import packets as pkt
 from . import pcap as pcap_io
 from . import rosbag as bag_io
+from . import rosbag2 as bag2_io
 from .metadata import SensorInfo
 
 
@@ -123,6 +124,15 @@ def read_ouster_pcap(
     return assemble_scans(info, cols), imu
 
 
+def _bag_reader(bag_paths):
+    """ROS1 / ROS2 dispatch (the reference gets this from rosbags.AnyReader,
+    ``src/ptudes/bag.py:41``)."""
+    first = bag_paths[0] if isinstance(bag_paths, list) else bag_paths
+    if bag2_io.is_rosbag2(first):
+        return bag2_io.Rosbag2Reader(bag_paths), True
+    return bag_io.RosbagReader(bag_paths), False
+
+
 def read_ouster_bag(
     bag_paths: str | list[str],
     info: SensorInfo,
@@ -131,9 +141,9 @@ def read_ouster_bag(
 ) -> tuple[ScanSequence, ImuSequence]:
     """Ouster raw-packet bag source (reference ``OusterRawBagSource``,
     ``src/ptudes/bag.py:21-96``): reads ``*lidar_packets``/``*imu_packets``
-    topics (autodiscovered by suffix when not given), checks the PacketMsg
-    type MD5."""
-    reader = bag_io.RosbagReader(bag_paths)
+    topics (autodiscovered by suffix when not given) from ROS1 or ROS2
+    bags; checks the PacketMsg type MD5 (ROS1)."""
+    reader, is_ros2 = _bag_reader(bag_paths)
     conns = reader.scan_connections()
     if not lidar_topic and not imu_topic:
         sel = [c.topic for c in conns
@@ -146,7 +156,8 @@ def read_ouster_bag(
     for msg in reader.messages(topics=sel):
         if msg.md5sum and msg.md5sum != bag_io.OUSTER_PACKETMSG_MD5:
             continue
-        buf = bag_io.parse_packetmsg(msg.raw)
+        buf = (bag2_io.cdr_parse_packetmsg(msg.raw) if is_ros2
+               else bag_io.parse_packetmsg(msg.raw))
         if msg.topic.endswith("lidar_packets"):
             lidar_payloads.append(np.frombuffer(buf, np.uint8))
         elif msg.topic.endswith("imu_packets"):
@@ -173,13 +184,15 @@ def read_imu_bag(
 ) -> ImuSequence:
     """IMU-only bag source (reference ``IMUBagSource``,
     ``src/ptudes/bag.py:99-160``): accepts ``sensor_msgs/msg/Imu`` or Ouster
-    ``imu_packets`` topics; picks the first IMU-ish topic if unspecified."""
-    reader = bag_io.RosbagReader(bag_paths)
+    ``imu_packets`` topics from ROS1 or ROS2 bags; picks the first IMU-ish
+    topic if unspecified."""
+    reader, is_ros2 = _bag_reader(bag_paths)
     conns = reader.scan_connections()
     imu_conns = [
         c for c in conns
         if c.msgtype == "sensor_msgs/msg/Imu"
-        or (c.msgtype == "ouster_ros/msg/PacketMsg"
+        or (c.msgtype in (("ouster_ros/msg/PacketMsg",)
+                          + bag2_io.OUSTER_PACKETMSG_TYPES)
             and c.topic.endswith("imu_packets"))
     ]
     assert imu_conns, (
@@ -194,12 +207,14 @@ def read_imu_bag(
     ts_list, lacc_list, avel_list = [], [], []
     for msg in reader.messages(topics=sel):
         if msg.msgtype == "sensor_msgs/msg/Imu":
-            t, la, av = bag_io.parse_imu_msg(msg.raw)
+            t, la, av = (bag2_io.cdr_parse_imu_msg(msg.raw) if is_ros2
+                         else bag_io.parse_imu_msg(msg.raw))
             ts_list.append(t)
             lacc_list.append(la)
             avel_list.append(av)
-        elif msg.msgtype == "ouster_ros/msg/PacketMsg":
-            buf = bag_io.parse_packetmsg(msg.raw)
+        elif msg.topic.endswith("imu_packets"):
+            buf = (bag2_io.cdr_parse_packetmsg(msg.raw) if is_ros2
+                   else bag_io.parse_packetmsg(msg.raw))
             raw = pkt.parse_imu_packets(np.frombuffer(buf, np.uint8)[None])
             ts_list.append(float(raw["sys_ts"][0]) * 1e-9)
             lacc_list.append(tuple(raw["accel_g"][0] * GRAV))
@@ -221,9 +236,11 @@ def read_packet_source(
     p = Path(file_path)
     if p.is_file() and p.suffix == ".pcap":
         return read_ouster_pcap(file_path, info)
-    if p.is_file() and p.suffix == ".bag":
+    if p.is_file() and p.suffix in (".bag", ".db3"):
         return read_ouster_bag(file_path, info)
     if p.is_dir():
+        if bag2_io.is_rosbag2(str(p)):
+            return read_ouster_bag(str(p), info)
         bags = sorted(str(b) for b in p.glob("*.bag"))
         return read_ouster_bag(bags, info)
     raise ValueError(f"unsupported source {file_path}")

@@ -298,5 +298,8 @@ def process_imu_batch(
         nxt = process_imu(state, imu, cfg=cfg)
         return masked_update(state, nxt, ok), None
 
-    out, _ = jax.lax.scan(step, s, (imus, valid))
+    # fully unrolled: K is small (<=16) and each step is tiny 18x18 math —
+    # unrolling lets XLA fuse across steps instead of paying per-iteration
+    # loop overhead on sub-microsecond bodies
+    out, _ = jax.lax.scan(step, s, (imus, valid), unroll=True)
     return out

@@ -389,3 +389,57 @@ class TestNative:
         assert (out["sys_ts"] == np.arange(5) * 1000).all()
         assert np.allclose(out["accel_g"][:, 0], 0.1 * np.arange(5),
                            atol=1e-7)
+
+
+class TestRosbag2:
+    def test_bag2_roundtrip_packets(self, tmp_path):
+        """ROS2 (sqlite3 + CDR) bag round-trip: PacketMsg lidar/IMU topics
+        decode to the same scans as the ROS1 path."""
+        from ptudes_tpu.io import rosbag2 as bag2_io
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=2)
+        msgs = []
+        for ts, p in payloads:
+            msgs.append(("/ouster/lidar_packets",
+                         "ouster_sensor_msgs/msg/PacketMsg",
+                         int(ts * 1e9), bag2_io.cdr_serialize_packetmsg(p)))
+        imu_buf = pkt.make_imu_packet(int(2e9), [0, 0, 1.0], [0, 0, 10.0])
+        msgs.append(("/ouster/imu_packets",
+                     "ouster_sensor_msgs/msg/PacketMsg", int(2e9),
+                     bag2_io.cdr_serialize_packetmsg(imu_buf)))
+        path = str(tmp_path / "bag2")
+        bag2_io.write_simple_bag2(path, msgs)
+
+        scans, imu = sources.read_packet_source(path, info)
+        assert np.array_equal(scans.range_mm, truth)
+        assert len(imu) == 1
+        assert np.allclose(imu.avel[0], np.deg2rad([0, 0, 10.0]), atol=1e-7)
+
+    def test_bag2_sensor_imu(self, tmp_path):
+        from ptudes_tpu.io import rosbag2 as bag2_io
+        msgs = []
+        for i in range(10):
+            t = 100.0 + i * 0.01
+            msgs.append(("/alphasense/imu", "sensor_msgs/msg/Imu",
+                         int(t * 1e9),
+                         bag2_io.cdr_serialize_imu_msg(
+                             t, [0.1, 0.2, 9.8], [0.01, 0.02, 0.03],
+                             frame_id="alphasense")))
+        path = str(tmp_path / "imu2")
+        bag2_io.write_simple_bag2(path, msgs)
+        imu = sources.read_imu_bag(path)
+        assert len(imu) == 10
+        assert np.allclose(imu.lacc[0], [0.1, 0.2, 9.8])
+        assert np.allclose(imu.avel[0], [0.01, 0.02, 0.03])
+        assert np.isclose(imu.ts[0], 100.0)
+
+    def test_cdr_imu_codec_alignment(self):
+        """CDR alignment with odd frame_id lengths (string incl NUL)."""
+        from ptudes_tpu.io import rosbag2 as bag2_io
+        for fid in ["x", "imu", "alphasense_imu_link"]:
+            raw = bag2_io.cdr_serialize_imu_msg(42.125, [1, 2, 3], [4, 5, 6],
+                                                frame_id=fid)
+            t, la, av = bag2_io.cdr_parse_imu_msg(raw)
+            assert abs(t - 42.125) < 1e-9
+            assert la == (1.0, 2.0, 3.0)
+            assert av == (4.0, 5.0, 6.0)

@@ -89,9 +89,10 @@ def make_step(lut, cfg, ablate: set):
             local_map = state.kiss.local_map
         else:
             frame_w = se3.transform(new_pose, frame_ds)
-            local_map = hashmap.insert(
+            local_map = hashmap.insert_deduped(
                 state.kiss.local_map, frame_w, frame_mask, voxel_size=vs,
-                max_probes=cap.max_probes)
+                max_probes=cap.max_probes,
+                new_capacity=cap.max_new_per_scan)
             if "evict" not in ablate:
                 local_map = hashmap.remove_far(
                     local_map, se3.trans(new_pose),
