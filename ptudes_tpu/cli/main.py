@@ -66,7 +66,10 @@ def _nav_frame_lut(info, cap_h=None):
               help="Only stat the first DURATION seconds")
 @click.option("--beams", type=int, default=32,
               help="Beam subsample for range stats (default 32)")
-def cmd_stat(file, meta, duration, beams):
+@click.option("--kiss-run", is_flag=True,
+              help="Also run vanilla KISS odometry for time profiling "
+              "(reference stat --kiss-run, src/ptudes/cli/stat.py:42-44)")
+def cmd_stat(file, meta, duration, beams, kiss_run):
     """Stream statistics: range/IMU mean/std + gravity estimate
     (reference ``ptudes stat``, ``src/ptudes/cli/stat.py``)."""
     from ..utils.stats import sequence_stats
@@ -85,6 +88,40 @@ def cmd_stat(file, meta, duration, beams):
         use_beams_num=beams, range_unit_m=info.range_unit_m())
     print(tracker)
     print("Grav vector est: ", tracker.gravity_estimate)
+
+    if kiss_run and len(scans):
+        import jax
+        from ..models import lio
+        cfg = PipelineConfig(
+            kiss=KissConfig(max_range=70.0, min_range=1.0, deskew=True),
+            cap=Capacity(max_points=info.h * info.w),
+            guess="kiss")
+        lut = _nav_frame_lut(info)
+        range_m = scans.range_mm[sel_s].astype(np.float32) \
+            * info.range_unit_m()
+        batches = lio.build_batches(
+            cfg, range_m, scans.ts[sel_s], imu.lacc[sel_i],
+            imu.avel[sel_i], imu.ts[sel_i])
+        state = lio.init_state(cfg)
+
+        def _sync(o):
+            # force a device->host scalar: block_until_ready is unreliable
+            # through async device tunnels
+            float(np.asarray(o.kiss_pose[-1, 0, 0]))
+
+        t0 = time.monotonic()
+        fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+        _sync(out)
+        t_compile_run = time.monotonic() - t0
+        t0 = time.monotonic()
+        fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+        _sync(out)
+        dt = time.monotonic() - t0
+        n = int(np.sum(sel_s)) if not isinstance(sel_s, slice) \
+            else len(scans)
+        print(f"\nKISS run: {n} scans, {dt:.3f} s steady-state "
+              f"({n / max(dt, 1e-9):.1f} scans/s; "
+              f"compile {t_compile_run - dt:.1f} s)")
 
 
 # --------------------------------------------------------------- ekf-bench
@@ -310,13 +347,30 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         guess_poses=guess_poses)
     state = lio.init_state(cfg)
 
+    def _sync(o):
+        # force a device->host scalar: block_until_ready is unreliable
+        # through async device tunnels
+        float(np.asarray(o.kiss_pose[-1, 0, 0]))
+
     t0 = time.monotonic()
     fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
-    jax.block_until_ready(out.kiss_pose)
-    t_total = time.monotonic() - t0
+    _sync(out)
+    t_first = time.monotonic() - t0
+    t0 = time.monotonic()
+    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+    _sync(out)
+    t_steady = time.monotonic() - t0
     n = len(scans)
-    print(f"\nTimings: {t_total:.3f} s total (incl. compile), "
-          f"{t_total / max(n, 1):.5f} s per scan")
+    # per-run timing report (reference prints per-stage means,
+    # ekf_bench.py:590-595; in the fused on-device pipeline the stages
+    # are one compiled program, so the split is compile vs steady-state)
+    iters = np.asarray(out.aux.iterations)
+    print(f"\nTimings: {t_first:.3f} s first run "
+          f"(compile {t_first - t_steady:.1f} s), "
+          f"{t_steady:.3f} s steady-state")
+    print(f"  per scan: {t_steady / max(n, 1) * 1e3:.2f} ms "
+          f"({n / max(t_steady, 1e-9):.1f} scans/s); "
+          f"ICP iterations mean {iters.mean():.1f} max {iters.max()}")
 
     res_poses = np.asarray(out.ekf_pose, np.float64)
     kiss_poses = np.asarray(out.kiss_pose, np.float64)
@@ -494,13 +548,20 @@ def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
 @click.option("-m", "--meta", type=click.Path(exists=True), default=None)
 @click.option("--scan", "scan_idx", type=int, default=0)
 @click.option("-o", "--out-png", type=click.Path(), default=None)
-def cmd_viz(file, meta, scan_idx, out_png):
-    """Raw scan viewer: destaggered range image as a matplotlib figure
+@click.option("--out-dir", type=click.Path(), default=None,
+              help="Export the WHOLE stream as PNG frames (playback "
+              "export; the reference plays it live in SimpleViz, "
+              "src/ptudes/cli/viz.py:49-62)")
+@click.option("--stride", type=int, default=1,
+              help="Export every Nth scan with --out-dir")
+def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride):
+    """Raw scan viewer: destaggered range images as matplotlib figures —
+    one scan (--out-png/interactive) or the whole stream (--out-dir)
     (reference ``ptudes viz`` uses the OpenGL SimpleViz,
     ``src/ptudes/cli/viz.py``)."""
     import jax.numpy as jnp
     import matplotlib
-    if out_png:
+    if out_png or out_dir:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from ..ops.projection import destagger
@@ -510,18 +571,33 @@ def cmd_viz(file, meta, scan_idx, out_png):
           f"sensor: {info.prod_line} {info.mode}")
     if not len(scans):
         return
-    img = destagger(
-        jnp.asarray(scans.range_mm[scan_idx].astype(np.float32)),
-        jnp.asarray(np.asarray(info.pixel_shift_by_row)))
-    plt.figure(figsize=(16, 4))
-    plt.imshow(np.asarray(img), cmap="viridis", aspect="auto")
-    plt.colorbar(label="range (mm)")
-    plt.title(f"scan {scan_idx}")
-    if out_png:
-        plt.savefig(out_png, dpi=120, bbox_inches="tight")
+    shifts = jnp.asarray(np.asarray(info.pixel_shift_by_row))
+
+    def render(i, path=None):
+        img = destagger(
+            jnp.asarray(scans.range_mm[i].astype(np.float32)), shifts)
+        plt.figure(figsize=(16, 4))
+        plt.imshow(np.asarray(img), cmap="viridis", aspect="auto")
+        plt.colorbar(label="range (mm)")
+        plt.title(f"scan {i}  t={scans.ts[i]:.3f}s")
+        if path:
+            plt.savefig(path, dpi=120, bbox_inches="tight")
+            plt.close()
+        else:
+            plt.show()
+
+    if out_dir:
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        idxs = range(0, len(scans), max(stride, 1))
+        for i in idxs:
+            render(i, os.path.join(out_dir, f"scan_{i:05d}.png"))
+        print(f"exported {len(list(idxs))} frames to {out_dir}")
+    elif out_png:
+        render(scan_idx, out_png)
         print(f"saved {out_png}")
     else:
-        plt.show()
+        render(scan_idx)
 
 
 def main():

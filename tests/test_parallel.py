@@ -95,3 +95,52 @@ def test_point_sharded_mixed_mesh(sim_run):
     fin, (kiss_poses, ekf_poses) = sharded.sharded_run_sequence(
         lio.init_state(cfg), batches, sensor.lut, cfg, m)
     assert np.isfinite(np.asarray(kiss_poses)).all()
+
+
+@pytest.mark.parametrize("n_bags,n_pt", [(2, 4), (4, 2), (8, 1)])
+def test_point_sharded_eviction_heavy(n_bags, n_pt):
+    """Sharded-vs-single parity across mesh shapes on an eviction-heavy
+    sequence: a tiny max_range forces remove_far to clear voxels as the
+    platform moves, so the replicated-map invariant (all-gathered insert
+    frames keep every 'pt' replica identical) is exercised while the map
+    fills AND empties (VERDICT round 1, next-round task 10)."""
+    n = 14
+    ts, _ = sim.circle_trajectory(n + 1, radius=8.0, speed=2.0,
+                                  scan_dt=0.1, ramp=1.0)
+    sweep = sim.circle_poses_at(ts, radius=8.0, speed=2.0, ramp=1.0)
+    world = sim.make_sim_world(seed=2, extent=25.0, n_boxes=40,
+                               keepout_points=sweep[:, :3, 3])
+    sensor = sim.make_sim_sensor(h=32, w=256, fov_deg=45.0)
+    scans = np.stack([
+        sim.render_range_image(world, sweep[i], sensor, max_range=60.0,
+                               noise_std=0.01, seed=i,
+                               end_pose=sweep[i + 1]) for i in range(n)])
+    imu_ts = np.arange(1, n * 10 + 2) * 0.01
+    imu = sim.imu_for_circle(imu_ts, radius=8.0, speed=2.0, ramp=1.0)
+    # tiny max_range + tiny map: voxels evict as the circle progresses
+    cfg = PipelineConfig(
+        kiss=KissConfig(max_range=10.0, min_range=1.0,
+                        max_points_per_voxel=8, max_iterations=20,
+                        deskew=True, loss="plane", voxel_size=0.3,
+                        plane_fit_radius=0.6),
+        cap=Capacity(max_points=32 * 256, max_frame=8192, max_source=4096,
+                     map_capacity=1 << 14, dedup_table=1 << 16,
+                     max_new_per_scan=4096),
+        ekf=EkfConfig(), max_imu_per_scan=16, guess="ekf")
+    batches = lio.build_batches(cfg, scans, ts[:n] + 0.1,
+                                np.asarray(imu.lacc), np.asarray(imu.avel),
+                                imu_ts)
+
+    fin_ref, out_ref = lio.run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg=cfg)
+    # eviction actually happened (map didn't grow monotonically to cap)
+    mp = np.asarray(out_ref.aux.map_points)
+    assert mp[-1] < mp.max() or mp.max() < (1 << 14) * 8
+
+    m = mesh_lib.make_mesh(n_bags=n_bags, n_pt=n_pt)
+    fin_sh, (kiss_poses, _) = sharded.sharded_run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg, m)
+    d = np.linalg.norm(
+        np.asarray(out_ref.kiss_pose)[:, :3, 3]
+        - np.asarray(kiss_poses)[:, :3, 3], axis=1)
+    assert d.max() < 0.05, f"mesh {n_bags}x{n_pt} diverged {d.max():.4f} m"
