@@ -243,7 +243,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
     static_argnames=(
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
-        "neighborhood", "n_voxels", "plane_radius",
+        "neighborhood", "n_voxels", "plane_radius", "gn_backend",
     ),
 )
 def register_frame_cached(
@@ -265,6 +265,7 @@ def register_frame_cached(
     neighborhood: int = 27,
     n_voxels: int = 4,
     plane_radius: float | None = None,
+    gn_backend: str = "auto",
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
 
@@ -272,8 +273,18 @@ def register_frame_cached(
     (and plane fits) hoisted out of the iteration loop: per iteration only
     a dense [M, V*P] distance + argmin + GN normal-equation build remain —
     no hash probes, no gathers, no data-dependent memory traffic.
+
+    ``gn_backend``: "pallas" fuses the whole per-iteration dense pass into
+    one TPU kernel (ops.pallas_gn — ~50 XLA ops -> 1 launch), "jnp" uses
+    the plain XLA path, "auto" picks pallas on TPU when the source
+    capacity is kernel-block aligned.
     """
     assert loss in ("point", "plane")
+    if gn_backend == "auto":
+        from .pallas_gn import BLK
+        gn_backend = (
+            "pallas" if (jax.default_backend() == "tpu"
+                         and source.shape[0] % BLK == 0) else "jnp")
     max_d2 = max_distance * max_distance
     guess = initial_guess.astype(jnp.float32)
     guess_inv = se3.inv(guess)
@@ -299,9 +310,19 @@ def register_frame_cached(
         cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
         t_gather = jnp.where(stale, t_cur, t_gather)
 
-        jtj, jtr, corr_n, total_w = gn_from_candidates(
-            t_cur, source, source_mask, cand, kernel, max_d2,
-            loss=loss, plane_min_quality=plane_min_quality)
+        if gn_backend == "pallas":
+            # NOTE: prep (lane-major transpose) stays inside the iteration —
+            # carrying the transposed tensors through the while carry was
+            # measurably SLOWER (85.5 -> 72.7 scans/s on the bench) than
+            # re-transposing [N, C] per iteration
+            from .pallas_gn import gn_from_candidates_pallas
+            jtj, jtr, corr_n, total_w = gn_from_candidates_pallas(
+                t_cur, source, source_mask, cand, kernel, max_d2,
+                loss=loss, plane_min_quality=plane_min_quality)
+        else:
+            jtj, jtr, corr_n, total_w = gn_from_candidates(
+                t_cur, source, source_mask, cand, kernel, max_d2,
+                loss=loss, plane_min_quality=plane_min_quality)
 
         if prior_rot_weight > 0.0 or prior_trans_weight > 0.0:
             xi = se3.log_pose(t_cur @ guess_inv)
