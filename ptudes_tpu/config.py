@@ -114,3 +114,8 @@ class PipelineConfig:
     # (exact during accelerations; needs the fused pipeline), "kiss" is the
     # reference's const-velocity-from-previous-poses model
     deskew_mode: str = "ekf"
+    # keep the first valid return of each group of N adjacent columns per
+    # beam row before projection (ops.projection.scan_to_points): adjacent
+    # columns are a few cm apart — far below the 0.5*voxel downsample —
+    # so N=2 halves every full-width stage's cost for free; 1 disables
+    col_decimation: int = 1

@@ -85,7 +85,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
             state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
 
         # 2. device-side projection
-        pts, mask, ts01 = scan_to_points(lut, batch.range_m)
+        pts, mask, ts01 = scan_to_points(
+            lut, batch.range_m, decimate=cfg.col_decimation)
 
         # 3. initial-guess policy (ekf_bench.py:533-548)
         if cfg.guess == "ekf":

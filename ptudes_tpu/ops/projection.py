@@ -101,18 +101,44 @@ def project(lut: XyzLut, range_m: jax.Array) -> jax.Array:
 
 
 def scan_to_points(
-    lut: XyzLut, range_m: jax.Array
+    lut: XyzLut, range_m: jax.Array, decimate: int = 1
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Full scan -> flat (points [H*W, 3], mask [H*W], col_ts01 [H*W]).
+    """Full scan -> flat (points [H*W/d, 3], mask [H*W/d], col_ts01).
 
     ``col_ts01`` are per-column normalized timestamps
     ``linspace(0, 1, W, endpoint=False)`` tiled over rows, exactly the
     deskew timestamps the reference builds (``src/ptudes/kiss.py:34-35``).
+
+    ``decimate`` > 1 keeps the FIRST VALID return of each group of
+    ``decimate`` adjacent columns per beam row (its exact direction, range
+    and column timestamp — not an average). Adjacent columns are a few cm
+    apart at typical ranges, far below the 0.5*voxel downsample that
+    immediately follows in the odometry pipeline, so decimation removes
+    points the dedup would discard anyway — at half (d=2) the cost of
+    every full-width stage (projection, deskew, clip, voxel scatter,
+    compaction). Static shapes: output width is H*W/d regardless of data.
     """
     h, w = range_m.shape
-    pts = project(lut, range_m).reshape(h * w, 3)
-    mask = (range_m > 0).reshape(h * w)
-    ts = jnp.tile(jnp.arange(w, dtype=jnp.float32) / w, (h,))
+    if decimate == 1:
+        pts = project(lut, range_m).reshape(h * w, 3)
+        mask = (range_m > 0).reshape(h * w)
+        ts = jnp.tile(jnp.arange(w, dtype=jnp.float32) / w, (h,))
+        return pts, mask, ts
+
+    assert w % decimate == 0
+    g = w // decimate
+    rm = range_m.reshape(h, g, decimate)
+    valid = rm > 0
+    k = jnp.argmax(valid, axis=-1)                          # first valid col
+    r = jnp.take_along_axis(rm, k[..., None], -1)[..., 0]   # [h, g]
+    dirs = lut.direction.reshape(h, g, decimate, 3)
+    offs = lut.offset.reshape(h, g, decimate, 3)
+    d = jnp.take_along_axis(dirs, k[..., None, None], -2)[..., 0, :]
+    o = jnp.take_along_axis(offs, k[..., None, None], -2)[..., 0, :]
+    pts = (d * r[..., None] + o).reshape(h * g, 3)
+    mask = jnp.any(valid, axis=-1).reshape(h * g)
+    cols = jnp.arange(g, dtype=jnp.int32)[None, :] * decimate + k
+    ts = (cols.astype(jnp.float32) / w).reshape(h * g)
     return pts, mask, ts
 
 
