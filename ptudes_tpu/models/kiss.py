@@ -89,7 +89,7 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess"))
+@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess", "grid_hw"))
 def register_scan(
     state: KissState,
     pts: jax.Array,        # [N, 3] points in the sensor/nav frame
@@ -101,6 +101,8 @@ def register_scan(
     initial_guess: jax.Array | None = None,
     use_guess: bool = False,
     deskew_twist: jax.Array | None = None,
+    update_ok: jax.Array | None = None,
+    grid_hw: tuple[int, int] | None = None,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
@@ -113,6 +115,15 @@ def register_scan(
     The LIO pipeline passes the EKF's IMU-integrated motion over the sweep
     window here — exact during accelerations, where const-velocity lags
     (the reference cannot do this: its deskew lives inside kiss-icp C++).
+
+    ``update_ok`` (scalar bool) gates ALL state mutation: when False the
+    returned state equals the input state. Crucially the gate is applied
+    to the map update's INPUTS (empty insert mask, infinite eviction
+    radius) rather than by selecting between old/new states afterwards —
+    a ``jnp.where`` over the carried map would stream the full multi-
+    hundred-MB points table through a select every scan (measured 0.45
+    ms/scan for the skip-scans-without-IMU logic the reference runs as a
+    Python ``continue``, ``src/ptudes/cli/ekf_bench.py:512-518``).
     """
     vs = cfg.resolved_voxel_size
 
@@ -129,12 +140,25 @@ def register_scan(
     # 2. preprocess: range clip by norm (kiss Preprocess)
     mask = voxel.range_clip_mask(pts, mask, cfg.min_range, cfg.max_range)
 
-    # 3. double voxelize (first-point-per-voxel); the second (source) dedup
-    #    runs on the already-compacted frame — identical output (compact is
-    #    order-preserving, so first-in-voxel survivors match), ~N/max_frame
-    #    times cheaper scatter traffic
-    keep_frame = voxel.first_in_voxel_mask(pts, mask, vs * 0.5, cap.dedup_table)
-    frame_ds, frame_mask = voxel.compact(pts, keep_frame, cap.max_frame)
+    # 3. double voxelize (first-point-per-voxel). When the caller provides
+    #    the range-image grid shape, the bulk of the sub-voxel duplicates
+    #    is removed by scatter-free window compares on the grid FIRST, so
+    #    the exact scatter-table dedup runs on the compacted survivors at
+    #    max_frame width instead of full scan width (TPU scatters
+    #    serialize per row — this is the voxelize hot spot). Final point
+    #    set is identical either way (window survivors are a superset of
+    #    the exact first-per-voxel set). The second (source) dedup runs on
+    #    the compacted frame in both paths — compact is order-preserving,
+    #    so first-in-voxel survivors match.
+    if grid_hw is not None:
+        pre = voxel.window_prededup_mask(pts, mask, vs * 0.5, grid_hw)
+        frame_ds, cmask = voxel.compact(pts, pre, cap.max_frame)
+        frame_mask = voxel.first_in_voxel_mask(
+            frame_ds, cmask, vs * 0.5, cap.dedup_table)
+    else:
+        keep_frame = voxel.first_in_voxel_mask(
+            pts, mask, vs * 0.5, cap.dedup_table)
+        frame_ds, frame_mask = voxel.compact(pts, keep_frame, cap.max_frame)
     keep_src = voxel.first_in_voxel_mask(
         frame_ds, frame_mask, vs * 1.5, cap.dedup_table
     )
@@ -193,24 +217,29 @@ def register_scan(
 
     # 8. map update at the new pose + distance eviction (occupancy-deduped:
     #    frame_ds is 0.5*vs-unique, so scatters run only on new points)
+    ok = (jnp.asarray(True) if update_ok is None
+          else update_ok.astype(bool))
     frame_w = se3.transform(new_pose, frame_ds)
     local_map = hashmap.insert_deduped(
-        state.local_map, frame_w, frame_mask,
+        state.local_map, frame_w, frame_mask & ok,
         voxel_size=vs, max_probes=cap.max_probes,
         new_capacity=cap.max_new_per_scan,
     )
     local_map = hashmap.remove_far(
         local_map, se3.trans(new_pose),
-        jnp.asarray(cfg.max_range**2, jnp.float32),
+        jnp.where(ok, jnp.asarray(cfg.max_range**2, jnp.float32), jnp.inf),
     )
+
+    def gate(new, old):
+        return jnp.where(ok, new, old)
 
     new_state = KissState(
         local_map=local_map,
-        pose=new_pose,
-        pose_prev=state.pose,
-        model_sse=model_sse,
-        num_samples=num_samples,
-        num_scans=state.num_scans + 1,
+        pose=gate(new_pose, state.pose),
+        pose_prev=gate(state.pose, state.pose_prev),
+        model_sse=gate(model_sse, state.model_sse),
+        num_samples=gate(num_samples, state.num_samples),
+        num_scans=gate(state.num_scans + 1, state.num_scans),
     )
     aux = KissAux(
         sigma=sigma,

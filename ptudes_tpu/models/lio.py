@@ -105,22 +105,24 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
             deskew_twist = se3.log_pose(
                 se3.inv(ekf0_pose) @ esekf.pose_mat(ekf1))
 
+        # skip scans with no interleaved IMUs (the reference `continue`s
+        # before KISS/update, ekf_bench.py:512-518): the gate rides INTO
+        # register_scan (masked insert inputs) instead of a post-hoc
+        # jnp.where over the state tree, which would stream the whole
+        # carried map through a select every scan (0.45 ms/scan measured)
+        has_imu = jnp.any(batch.imu_valid)
+        h, w, _ = lut.direction.shape
         kiss1, pose, aux = kiss.register_scan(
             state.kiss, pts, mask, ts01, cfg=cfg.kiss, cap=cfg.cap,
             initial_guess=guess, use_guess=use_guess,
-            deskew_twist=deskew_twist)
+            deskew_twist=deskew_twist, update_ok=has_imu,
+            grid_hw=(h, w // cfg.col_decimation))
 
-        # 4. EKF update with the ICP pose (ekf_bench.py:555)
+        # 4. EKF update with the ICP pose (ekf_bench.py:555); small-state
+        #    select only (18x18 cov + vectors)
         ekf2 = esekf.process_pose(ekf1, pose, cfg=cfg.ekf)
-
-        # 5. skip scans with no interleaved IMUs (state frozen except the
-        #    already-applied IMU predict — matching the reference, which
-        #    `continue`s before KISS/update, ekf_bench.py:512-518)
-        has_imu = jnp.any(batch.imu_valid)
-        new_state = LioState(kiss=kiss1, ekf=ekf2)
-        frozen = LioState(kiss=state.kiss, ekf=ekf1)
-        out_state = jax.tree.map(
-            lambda a, b: jnp.where(has_imu, a, b), new_state, frozen)
+        ekf_out = esekf.masked_update(ekf1, ekf2, has_imu)
+        out_state = LioState(kiss=kiss1, ekf=ekf_out)
 
         out = LioOut(
             kiss_pose=pose,

@@ -144,6 +144,11 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
         # map update: all-gather the frame so replicas insert identically;
         # re-dedup at 0.5*vs — per-shard dedup can leave cross-shard octant
         # duplicates, which insert_deduped's uniqueness precondition forbids
+        # no-IMU skip gate rides into the map-update inputs (empty insert
+        # mask, infinite eviction radius) — a post-hoc jnp.where over the
+        # carried map would stream the whole points table through a select
+        # every scan (same rationale as models/lio.py scan_step)
+        has_imu = jnp.any(batch.imu_valid)
         frame_w = se3.transform(new_pose, frame_ds)
         frame_all = jax.lax.all_gather(
             frame_w, "pt", axis=0, tiled=True)
@@ -152,26 +157,31 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
         fmask_all = voxel.first_in_voxel_mask(
             frame_all, fmask_all, vs * 0.5, cap.dedup_table)
         local_map = hashmap.insert_deduped(
-            kstate.local_map, frame_all, fmask_all,
+            kstate.local_map, frame_all, fmask_all & has_imu,
             voxel_size=vs, max_probes=cap.max_probes,
             new_capacity=cap.max_new_per_scan)
         local_map = hashmap.remove_far(
             local_map, se3.trans(new_pose),
-            jnp.asarray(kcfg.max_range**2, jnp.float32))
+            jnp.where(has_imu,
+                      jnp.asarray(kcfg.max_range**2, jnp.float32), jnp.inf))
+
+        def gate(new, old):
+            return jnp.where(has_imu, new, old)
 
         kiss1 = kiss.KissState(
-            local_map=local_map, pose=new_pose, pose_prev=kstate.pose,
-            model_sse=kstate.model_sse + jnp.where(accum, err * err, 0.0),
-            num_samples=kstate.num_samples + accum.astype(jnp.int32),
-            num_scans=kstate.num_scans + 1)
+            local_map=local_map,
+            pose=gate(new_pose, kstate.pose),
+            pose_prev=gate(kstate.pose, kstate.pose_prev),
+            model_sse=gate(
+                kstate.model_sse + jnp.where(accum, err * err, 0.0),
+                kstate.model_sse),
+            num_samples=gate(kstate.num_samples + accum.astype(jnp.int32),
+                             kstate.num_samples),
+            num_scans=gate(kstate.num_scans + 1, kstate.num_scans))
 
         ekf2 = esekf.process_pose(ekf1, new_pose, cfg=cfg.ekf)
-
-        has_imu = jnp.any(batch.imu_valid)
-        new_state = lio.LioState(kiss=kiss1, ekf=ekf2)
-        frozen = lio.LioState(kiss=kstate, ekf=ekf1)
-        out_state = jax.tree.map(
-            lambda a, b: jnp.where(has_imu, a, b), new_state, frozen)
+        ekf_out = esekf.masked_update(ekf1, ekf2, has_imu)
+        out_state = lio.LioState(kiss=kiss1, ekf=ekf_out)
         return out_state, (new_pose, esekf.pose_mat(out_state.ekf))
 
     return step

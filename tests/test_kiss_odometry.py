@@ -120,3 +120,25 @@ def test_sigma_recurrence(sim_run):
     sigmas = [float(a.sigma) for _, a in out]
     assert sigmas[0] == CFG.initial_threshold
     assert sigmas[-1] < CFG.initial_threshold
+
+
+def test_grid_prededup_matches_flat_path(sim_run):
+    """The window-prededup + compacted exact dedup (grid_hw path) must
+    produce the same registration as the full-width exact dedup."""
+    world, sensor, ts, poses, scans = sim_run
+    state_a = kiss.init_state(CFG, CAP)
+    state_b = kiss.init_state(CFG, CAP)
+    for i in range(4):
+        pts, mask, ts01 = projection.scan_to_points(
+            sensor.lut, jnp.asarray(scans[i]))
+        state_a, pose_a, _ = kiss.register_scan(
+            state_a, pts, mask, ts01, cfg=CFG, cap=CAP)
+        state_b, pose_b, _ = kiss.register_scan(
+            state_b, pts, mask, ts01, cfg=CFG, cap=CAP,
+            grid_hw=(32, 256))
+        # identical point sets -> identical ICP solves and map stats
+        assert np.allclose(np.asarray(pose_a), np.asarray(pose_b),
+                           atol=1e-5), f"scan {i}"
+        from ptudes_tpu.ops import hashmap
+        assert int(hashmap.num_points(state_a.local_map)) == \
+            int(hashmap.num_points(state_b.local_map))
