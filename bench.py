@@ -68,7 +68,7 @@ def bench_config():
                         deskew=True, loss="plane",
                         voxel_size=0.3, plane_fit_radius=0.6,
                         nn_mode="cached", nn_voxels=4,
-                        nn_neighborhood=7),
+                        nn_neighborhood=7, nn_refresh_drift=0.0),
         # max_probes=1: every hash-gather site (ICP candidates, insert
         # occupancy check) probes ONE slot — at the 6% operating load
         # factor the ~6% home-slot misses only re-route points through the

@@ -48,6 +48,12 @@ class KissConfig:
     # the hash map per iteration (kiss-icp behavior, gather-bound)
     nn_mode: str = "cached"
     nn_voxels: int = 4
+    # cached mode: re-gather candidates when the pose drifts more than
+    # this fraction of a voxel from the gather pose. 0 disables the
+    # refresh entirely (no cond in the loop): with EKF-predicted guesses
+    # the per-registration drift is millimeters, far inside the gathered
+    # 7-neighborhood's +-1 voxel coverage (bench: same ATE, +5% speed)
+    nn_refresh_drift: float = 0.5
     # motion-prior regularization toward the initial guess (0 = kiss parity);
     # bounds sampling-noise random walk of the GN on self-similar geometry
     prior_rot_weight: float = 0.01

@@ -190,6 +190,7 @@ def register_scan(
             neighborhood=cfg.nn_neighborhood,
             n_voxels=cfg.nn_voxels,
             plane_radius=cfg.plane_fit_radius,
+            refresh_drift=cfg.nn_refresh_drift,
         )
     else:
         res = icp.register_frame(

@@ -125,17 +125,21 @@ def gather_candidates(
     rep_d2 = jnp.sum((rep - pts_w[:, None, :]) ** 2, axis=-1)
     rep_d2 = jnp.where(found, rep_d2, jnp.inf)
 
-    # iterative top-V selection (V is tiny; argmin + mask beats a sort)
+    # iterative top-V selection. NOTE: one-hot multiply-sums, NOT
+    # take_along_axis — TPU gathers serialize per row (~67 us per
+    # [M]-row gather measured), while a [M, J] compare+reduce is pure
+    # VPU work; this loop had 3 such gathers per V step
     jidx = jnp.arange(neighborhood, dtype=jnp.int32)[None, :]
     sel_slot, sel_cnt, sel_ok = [], [], []
     d = rep_d2
     for _ in range(n_voxels):
         j = jnp.argmin(d, axis=-1)                            # [M]
-        sel_slot.append(jnp.take_along_axis(found_slot, j[:, None], 1)[:, 0])
-        sel_cnt.append(jnp.take_along_axis(cnt, j[:, None], 1)[:, 0])
+        oneh = (jidx == j[:, None])                           # [M, J]
+        sel_slot.append(jnp.sum(found_slot * oneh, axis=-1))
+        sel_cnt.append(jnp.sum(cnt * oneh, axis=-1))
         sel_ok.append(jnp.isfinite(
-            jnp.take_along_axis(d, j[:, None], 1)[:, 0]))
-        d = jnp.where(jidx == j[:, None], jnp.inf, d)
+            jnp.sum(jnp.where(oneh, d, 0.0), axis=-1)))
+        d = jnp.where(oneh, jnp.inf, d)
     slot_v = jnp.stack(sel_slot, axis=1)                      # [M, V]
     cnt_v = jnp.where(jnp.stack(sel_ok, 1), jnp.stack(sel_cnt, 1), 0)
 
@@ -191,9 +195,7 @@ def gn_from_candidates(
 
     pts_w = se3.transform(t_cur, source)                      # [N, 3]
     d2 = jnp.sum((cand.pts - pts_w[:, None, :]) ** 2, axis=-1) + cand_inf
-    k = jnp.argmin(d2, axis=-1)                               # [N]
-    d2min = jnp.take_along_axis(d2, k[:, None], 1)[:, 0]
-    nn = jnp.take_along_axis(cand.pts, k[:, None, None], 1)[:, 0]
+    d2min, nn = hashmap._argmin_select(d2, cand.pts)          # no row gather
     found = jnp.isfinite(d2min)
     corr = source_mask & found & (d2min <= max_d2)
     r_vec = pts_w - nn
@@ -244,6 +246,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
         "neighborhood", "n_voxels", "plane_radius", "gn_backend",
+        "refresh_drift",
     ),
 )
 def register_frame_cached(
@@ -266,6 +269,7 @@ def register_frame_cached(
     n_voxels: int = 4,
     plane_radius: float | None = None,
     gn_backend: str = "auto",
+    refresh_drift: float = 0.5,
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
 
@@ -288,10 +292,13 @@ def register_frame_cached(
     max_d2 = max_distance * max_distance
     guess = initial_guess.astype(jnp.float32)
     guess_inv = se3.inv(guess)
-    # re-gather when the pose has drifted >half a voxel from the gather
-    # pose — keeps candidates exact while a poor guess is still moving,
-    # freezes them (one gather total) once the solve is in the basin
-    refresh_th = 0.5 * voxel_size
+    # re-gather when the pose has drifted > refresh_drift voxels from the
+    # gather pose — keeps candidates exact while a poor guess is still
+    # moving, freezes them (one gather total) once the solve is in the
+    # basin. refresh_drift == 0 removes the refresh cond from the loop
+    # entirely (the cheap branch still pays carry copies every iteration).
+    refresh = refresh_drift > 0.0
+    refresh_th = refresh_drift * voxel_size
 
     def fetch(t_at):
         return gather_candidates(
@@ -306,9 +313,10 @@ def register_frame_cached(
     def body(carry):
         t_cur, t_gather, cand, converged, n_corr, iters = carry
 
-        stale = drift_metric(t_gather, t_cur) > refresh_th
-        cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
-        t_gather = jnp.where(stale, t_cur, t_gather)
+        if refresh:
+            stale = drift_metric(t_gather, t_cur) > refresh_th
+            cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
+            t_gather = jnp.where(stale, t_cur, t_gather)
 
         if gn_backend == "pallas":
             # NOTE: prep (lane-major transpose) stays inside the iteration —

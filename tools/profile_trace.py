@@ -83,9 +83,31 @@ def main():
     print(f"process names: {sorted(set(pids.values()))}")
     print(f"total device op time: {total / 1e3:.1f} ms over 50 scans "
           f"({total / 1e3 / 50:.3f} ms/scan)\n")
+
+    # join with HLO metadata: op name -> source file:line from the
+    # optimized module (same jit instance -> same fusion numbering)
+    lowered = jax.jit(
+        lambda s, b: lio.run_sequence(s, b, sensor.lut, cfg=cfg)
+    ).lower(state, batches)
+    hlo = lowered.compile().as_text()
+    import re
+    meta = {}
+    for mm in re.finditer(
+            r"%([\w.\-]+) = [^\n]*?metadata={[^}]*?"
+            r'(?:op_name="([^"]*)")?[^}]*?'
+            r'(?:source_file="([^"]*)")?[^}]*?'
+            r'(?:source_line=(\d+))?[^}]*}', hlo):
+        name, op, f, ln = mm.groups()
+        if name not in meta and (f or op):
+            src = f"{(f or '').replace('/root/repo/', '')}:{ln or '?'}"
+            opn = (op or "").split("/")[-1]
+            meta[name] = f"{src} {opn}"
+
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:args.top]
     for name, us in rows:
-        print(f"{us / 50:9.1f} us/scan  x{cnt[name] // 50:<4d} {name[:110]}")
+        info = meta.get(name, "")
+        print(f"{us / 50:9.1f} us/scan  x{cnt[name] // 50:<4d} "
+              f"{name[:40]:40s} {info[:90]}")
 
 
 if __name__ == "__main__":
