@@ -151,18 +151,24 @@ def register_scan(
     #    the compacted frame in both paths — compact is order-preserving,
     #    so first-in-voxel survivors match.
     if grid_hw is not None:
+        # scatter-free: window compare pre-dedup, then ONE sort groups the
+        # survivors by voxel (run starts = exact first-in-voxel set)
         pre = voxel.window_prededup_mask(pts, mask, vs * 0.5, grid_hw)
-        frame_ds, cmask = voxel.compact(pts, pre, cap.max_frame)
-        frame_mask = voxel.first_in_voxel_mask(
-            frame_ds, cmask, vs * 0.5, cap.dedup_table)
+        frame_ds, frame_mask = voxel.first_in_voxel_sorted(
+            pts, pre, vs * 0.5, cap.max_frame)
+        src_pts, src_keep = voxel.first_in_voxel_sorted(
+            frame_ds, frame_mask, vs * 1.5, cap.max_frame)
+        source, source_mask = voxel.compact(src_pts, src_keep,
+                                            cap.max_source)
     else:
         keep_frame = voxel.first_in_voxel_mask(
             pts, mask, vs * 0.5, cap.dedup_table)
         frame_ds, frame_mask = voxel.compact(pts, keep_frame, cap.max_frame)
-    keep_src = voxel.first_in_voxel_mask(
-        frame_ds, frame_mask, vs * 1.5, cap.dedup_table
-    )
-    source, source_mask = voxel.compact(frame_ds, keep_src, cap.max_source)
+        keep_src = voxel.first_in_voxel_mask(
+            frame_ds, frame_mask, vs * 1.5, cap.dedup_table
+        )
+        source, source_mask = voxel.compact(frame_ds, keep_src,
+                                            cap.max_source)
 
     # 4. adaptive threshold
     sigma = get_adaptive_threshold(state, cfg)

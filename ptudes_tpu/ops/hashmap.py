@@ -337,19 +337,22 @@ def insert_deduped(
     state = (m.meta[:, 0], m.meta[:, 1], m.meta[:, 5], m.meta[:, 2:5],
              m.points)
     # chunk 0 always runs; overflow chunks (bootstrap scans where most of
-    # the frame is new) run under lax.cond, so steady-state cost stays one
-    # chunk while early scans still insert the FULL frame
+    # the frame is new) run inside ONE dynamic-trip fori_loop — zero
+    # iterations in steady state. A per-chunk lax.cond chain costs one
+    # carry-copy boundary per cond even on the untaken branch (~50-140 us
+    # each measured); the single while pays that boundary once.
     state = insert_chunk(state, is_new & (new_pos < new_capacity))
     n_chunks = max(1, -(-pts.shape[0] // new_capacity))
-    for c in range(1, n_chunks):
-        lo = c * new_capacity
-        state = jax.lax.cond(
-            n_new > lo,
-            lambda st, lo=lo: insert_chunk(
-                st, is_new & (new_pos >= lo)
-                & (new_pos < lo + new_capacity)),
-            lambda st: st,
-            state)
+    if n_chunks > 1:
+        needed = (n_new + new_capacity - 1) // new_capacity
+
+        def chunk_body(c, st):
+            lo = c * new_capacity
+            return insert_chunk(
+                st, is_new & (new_pos >= lo) & (new_pos < lo + new_capacity))
+
+        state = jax.lax.fori_loop(
+            1, jnp.minimum(needed, n_chunks), chunk_body, state)
 
     fps, counts, occ_col, reps_i32, points = state
     meta = jnp.concatenate(

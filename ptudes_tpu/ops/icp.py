@@ -309,24 +309,29 @@ def register_frame_cached(
         )
 
     cand0 = fetch(guess)
+    if not refresh and gn_backend == "pallas":
+        # candidates are loop-invariant without refresh: prep ONCE here
+        # and close over the result — keeping them in the while carry
+        # costs a multi-MB carry copy per iteration
+        from .pallas_gn import gn_prepped_pallas, prep_candidates
+        prepped0 = prep_candidates(cand0, source_mask, loss=loss)
 
-    def body(carry):
-        t_cur, t_gather, cand, converged, n_corr, iters = carry
-
-        if refresh:
-            stale = drift_metric(t_gather, t_cur) > refresh_th
-            cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
-            t_gather = jnp.where(stale, t_cur, t_gather)
-
+    def gn_step(t_cur, cand, converged, n_corr, iters):
         if gn_backend == "pallas":
-            # NOTE: prep (lane-major transpose) stays inside the iteration —
-            # carrying the transposed tensors through the while carry was
-            # measurably SLOWER (85.5 -> 72.7 scans/s on the bench) than
-            # re-transposing [N, C] per iteration
-            from .pallas_gn import gn_from_candidates_pallas
-            jtj, jtr, corr_n, total_w = gn_from_candidates_pallas(
-                t_cur, source, source_mask, cand, kernel, max_d2,
-                loss=loss, plane_min_quality=plane_min_quality)
+            if refresh:
+                # NOTE: prep (lane-major transpose) stays inside the
+                # iteration when candidates can change — carrying the
+                # transposed tensors through the while carry was
+                # measurably SLOWER (85.5 -> 72.7 scans/s) than
+                # re-transposing [N, C] per iteration
+                from .pallas_gn import gn_from_candidates_pallas
+                jtj, jtr, corr_n, total_w = gn_from_candidates_pallas(
+                    t_cur, source, source_mask, cand, kernel, max_d2,
+                    loss=loss, plane_min_quality=plane_min_quality)
+            else:
+                jtj, jtr, corr_n, total_w = gn_prepped_pallas(
+                    t_cur, source, prepped0, kernel, max_d2,
+                    plane_min_quality=plane_min_quality)
         else:
             jtj, jtr, corr_n, total_w = gn_from_candidates(
                 t_cur, source, source_mask, cand, kernel, max_d2,
@@ -347,22 +352,37 @@ def register_frame_cached(
         t_new = se3.exp_twist(dx) @ t_cur
         now_conv = jnp.linalg.norm(dx) < convergence
         iters = jnp.where(converged, iters, iters + 1)
-        return (
-            t_new,
-            t_gather,
-            cand,
-            converged | now_conv,
-            jnp.where(converged, n_corr, corr_n),
-            iters,
-        )
+        return (t_new, converged | now_conv,
+                jnp.where(converged, n_corr, corr_n), iters)
 
-    def cond(carry):
-        converged, iters = carry[3], carry[5]
-        return jnp.logical_and(~converged, iters < max_iterations)
+    z32 = jnp.asarray(0, jnp.int32)
+    if refresh:
+        def body(carry):
+            t_cur, t_gather, cand, converged, n_corr, iters = carry
+            stale = drift_metric(t_gather, t_cur) > refresh_th
+            cand = jax.lax.cond(stale, lambda: fetch(t_cur), lambda: cand)
+            t_gather = jnp.where(stale, t_cur, t_gather)
+            t_new, conv, n_corr, iters = gn_step(
+                t_cur, cand, converged, n_corr, iters)
+            return (t_new, t_gather, cand, conv, n_corr, iters)
 
-    init = (guess, guess, cand0, jnp.asarray(False),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    t_final, _, _, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
+        def cond(carry):
+            return jnp.logical_and(~carry[3], carry[5] < max_iterations)
+
+        init = (guess, guess, cand0, jnp.asarray(False), z32, z32)
+        t_final, _, _, _, n_corr, iters = jax.lax.while_loop(
+            cond, body, init)
+    else:
+        # candidates frozen: closure capture, 4-scalar carry — no multi-MB
+        # CandidateSet copies through the loop boundary
+        def body(carry):
+            return gn_step(carry[0], cand0, carry[1], carry[2], carry[3])
+
+        def cond(carry):
+            return jnp.logical_and(~carry[1], carry[3] < max_iterations)
+
+        init = (guess, jnp.asarray(False), z32, z32)
+        t_final, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
     return IcpResult(pose=t_final, num_corr=n_corr, iterations=iters)
 
 

@@ -119,23 +119,38 @@ def first_in_voxel_mask(
     return mask & (table[slots] == idx)
 
 
+def _take_pad(col: jax.Array, capacity: int) -> jax.Array:
+    """First ``capacity`` entries of a 1-D column, zero-padded if short."""
+    if col.shape[0] >= capacity:
+        return col[:capacity]
+    pad = jnp.zeros((capacity - col.shape[0],), col.dtype)
+    return jnp.concatenate([col, pad])
+
+
 def compact(
     pts: jax.Array, mask: jax.Array, capacity: int, fill: float = 0.0
 ) -> tuple[jax.Array, jax.Array]:
     """Pack masked points to the front of a fixed-size [capacity, 3] buffer.
 
-    O(N) cumsum + one scatter; points beyond ``capacity`` are dropped.
+    Implemented as ONE stable sort by the inverted mask: keepers bubble to
+    the front in original order (stable), then slice to capacity. TPU
+    scatters serialize per update row (~8 ns each), so the obvious
+    cumsum+scatter formulation costs ~640 us at 131k points; the bitonic
+    sort network the TPU backend emits is ~5x cheaper for the same job.
+    Points beyond ``capacity`` are dropped.
     Returns (out_pts [capacity, 3], out_mask [capacity]).
     """
-    n = pts.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1            # target slot
-    ok = mask & (pos < capacity)
-    tgt = jnp.where(ok, pos, capacity)                      # overflow -> trash row
-    out = jnp.full((capacity + 1, pts.shape[-1]), fill, pts.dtype)
-    out = out.at[tgt].set(jnp.where(ok[:, None], pts, fill))
+    drop = (~mask).astype(jnp.int32)
+    _, x, y, z = jax.lax.sort(
+        (drop, pts[:, 0], pts[:, 1], pts[:, 2]),
+        num_keys=1, is_stable=True)
+    out = jnp.stack(
+        [_take_pad(x, capacity), _take_pad(y, capacity),
+         _take_pad(z, capacity)], axis=1)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
-    return out[:capacity], out_mask
+    out = jnp.where(out_mask[:, None], out, fill)
+    return out, out_mask
 
 
 def compact_with_payload(
@@ -146,21 +161,58 @@ def compact_with_payload(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Like :func:`compact` but carries a per-point payload column (e.g.
     deskew timestamps). payload shape [N] or [N, K]."""
-    n = pts.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    ok = mask & (pos < capacity)
-    tgt = jnp.where(ok, pos, capacity)
-    out = jnp.zeros((capacity + 1, pts.shape[-1]), pts.dtype)
-    out = out.at[tgt].set(jnp.where(ok[:, None], pts, 0.0))
     pay2d = payload if payload.ndim == 2 else payload[:, None]
-    outp = jnp.zeros((capacity + 1, pay2d.shape[-1]), pay2d.dtype)
-    outp = outp.at[tgt].set(jnp.where(ok[:, None], pay2d, 0))
+    drop = (~mask).astype(jnp.int32)
+    ops = (drop, pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
+        pay2d[:, k] for k in range(pay2d.shape[1]))
+    sorted_ = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    out = jnp.stack([_take_pad(c, capacity) for c in sorted_[1:4]], axis=1)
+    outp = jnp.stack([_take_pad(c, capacity) for c in sorted_[4:]], axis=1)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
-    outp = outp[:capacity]
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    outp = jnp.where(out_mask[:, None], outp, 0)
     if payload.ndim == 1:
         outp = outp[:, 0]
-    return out[:capacity], outp, out_mask
+    return out, outp, out_mask
+
+
+def first_in_voxel_sorted(
+    pts: jax.Array, mask: jax.Array, voxel_size: float, capacity: int
+) -> tuple[jax.Array, jax.Array]:
+    """First-point-per-voxel dedup via ONE stable sort — no scatters.
+
+    Sorts by (dropped, voxel-hash) with xyz payloads: valid points bubble
+    to the front grouped by voxel, original scan order preserved within a
+    voxel (stable), so run-starts are exactly the first-in-scan-order
+    survivors the table-based :func:`first_in_voxel_mask` selects. Returns
+    the REORDERED points plus their keep mask, sliced to ``capacity`` —
+    callers that don't care about point order (map insert, a following
+    compact) use this to replace a scatter-min + gather round trip
+    (~470 us at 32k width) with one ~100 us sort.
+
+    Hash aliasing between distinct voxels drops the losing voxel's points
+    like the table variant, but at 31-bit hash width (~1e-4 points/scan)
+    instead of table width. ``capacity`` must be >= the expected VALID
+    count (not just unique count): uniqueness is decided by run starts,
+    which is only correct for runs that survive the slice.
+    """
+    h = spatial_hash(voxel_coords(pts, voxel_size), 1 << 31)
+    drop = (~mask).astype(jnp.int32)
+    d, hh, x, y, z = jax.lax.sort(
+        (drop, h, pts[:, 0], pts[:, 1], pts[:, 2]),
+        num_keys=2, is_stable=True)
+    d = _take_pad(d, capacity)
+    hh = _take_pad(hh, capacity)
+    out = jnp.stack(
+        [_take_pad(x, capacity), _take_pad(y, capacity),
+         _take_pad(z, capacity)], axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), hh[1:] != hh[:-1]])
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    in_range = jnp.arange(capacity, dtype=jnp.int32) < n_valid
+    keep = (d == 0) & first & in_range
+    return out, keep
 
 
 def voxel_downsample(

@@ -92,15 +92,17 @@ def main():
     hlo = lowered.compile().as_text()
     import re
     meta = {}
-    for mm in re.finditer(
-            r"%([\w.\-]+) = [^\n]*?metadata={[^}]*?"
-            r'(?:op_name="([^"]*)")?[^}]*?'
-            r'(?:source_file="([^"]*)")?[^}]*?'
-            r'(?:source_line=(\d+))?[^}]*}', hlo):
-        name, op, f, ln = mm.groups()
-        if name not in meta and (f or op):
-            src = f"{(f or '').replace('/root/repo/', '')}:{ln or '?'}"
-            opn = (op or "").split("/")[-1]
+    for mm in re.finditer(r"%([\w.\-]+) = [^\n]*metadata={([^}]*)}", hlo):
+        name, body = mm.groups()
+        if name in meta:
+            continue
+        op = re.search(r'op_name="([^"]*)"', body)
+        f = re.search(r'source_file="([^"]*)"', body)
+        ln = re.search(r"source_line=(\d+)", body)
+        if op or f:
+            src = f"{(f.group(1) if f else '').replace('/root/repo/', '')}" \
+                  f":{ln.group(1) if ln else '?'}"
+            opn = (op.group(1) if op else "").split("/")[-1]
             meta[name] = f"{src} {opn}"
 
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:args.top]
