@@ -21,6 +21,17 @@ import jax as _jax
 # full f32 precision costs nothing while being required for correctness.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused scan_step compiles in ~25-60 s
+# per distinct shape config; caching makes every rerun (CLI invocations,
+# bench reruns, notebook restarts) start in seconds. Opt out or relocate
+# with PTUDES_COMPILE_CACHE=off / =<dir>.
+import os as _os
+
+_cache = _os.environ.get("PTUDES_COMPILE_CACHE", "/tmp/ptudes_jax_cache")
+if _cache.lower() not in ("off", "0", ""):
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 __version__ = "0.1.0"
 
 GRAV = 9.782940329221166

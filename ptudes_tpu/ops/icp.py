@@ -300,21 +300,28 @@ def register_frame_cached(
     refresh = refresh_drift > 0.0
     refresh_th = refresh_drift * voxel_size
 
-    def fetch(t_at):
+    def fetch(t_at, fit_planes=(loss == "plane")):
         return gather_candidates(
             vmap_, se3.transform(t_at, source),
             voxel_size=voxel_size, max_probes=max_probes,
             neighborhood=neighborhood, n_voxels=n_voxels,
-            fit_planes=(loss == "plane"), plane_radius=plane_radius,
+            fit_planes=fit_planes, plane_radius=plane_radius,
         )
 
-    cand0 = fetch(guess)
     if not refresh and gn_backend == "pallas":
         # candidates are loop-invariant without refresh: prep ONCE here
         # and close over the result — keeping them in the while carry
-        # costs a multi-MB carry copy per iteration
-        from .pallas_gn import gn_prepped_pallas, prep_candidates
-        prepped0 = prep_candidates(cand0, source_mask, loss=loss)
+        # costs a multi-MB carry copy per iteration. The patch plane fit
+        # runs on the SAME lane-major tensors via the fused moments
+        # kernel (gather_candidates' XLA fit is skipped entirely).
+        from .pallas_gn import gn_prepped_pallas, prep_with_plane_pallas
+        cand0 = fetch(guess, fit_planes=False)
+        r = (1.5 * voxel_size if plane_radius is None else plane_radius)
+        prepped0 = prep_with_plane_pallas(
+            cand0, source_mask, se3.transform(guess, source),
+            jnp.asarray(r, jnp.float32), loss=loss)
+    else:
+        cand0 = fetch(guess)
 
     def gn_step(t_cur, cand, converged, n_corr, iters):
         if gn_backend == "pallas":

@@ -125,6 +125,82 @@ def _kernel(pt_ref, f_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
 from typing import NamedTuple
 
 
+_N_MOM = 16  # output rows of the plane-moments kernel (10 used, padded)
+
+
+def _moments_kernel(pt_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
+                    out_ref):
+    """Per-point weighted moments of candidate offsets d = c - q within
+    radius: [n, Sd (3), Sdd (6)] — the inputs of a patch plane fit."""
+    px, py, pz = pt_ref[0:1, :], pt_ref[1:2, :], pt_ref[2:3, :]
+    r2 = scal_ref[0, 0]
+    dx = cx_ref[:] - px                             # [C, BLK]
+    dy = cy_ref[:] - py
+    dz = cz_ref[:] - pz
+    d2 = dx * dx + dy * dy + dz * dz + inf_ref[:]
+    w = (d2 <= r2).astype(jnp.float32)
+    rows = [
+        w, w * dx, w * dy, w * dz,
+        w * dx * dx, w * dy * dy, w * dz * dz,
+        w * dx * dy, w * dx * dz, w * dy * dz,
+    ]
+    pad = jnp.zeros((1, w.shape[1]), jnp.float32)
+    sums = [jnp.sum(r, axis=0, keepdims=True) for r in rows]
+    sums += [pad] * (_N_MOM - len(sums))
+    out_ref[:] = jnp.concatenate(sums, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def plane_moments_pallas(
+    ptq: jax.Array,     # [8, N] rows 0-2: query points (gather pose)
+    cx: jax.Array,      # [C, N] lane-major candidate coords
+    cy: jax.Array,
+    cz: jax.Array,
+    inf: jax.Array,     # [C, N] 0 valid / 1e30 invalid
+    radius2: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused per-point plane-fit moments over the candidate patch.
+
+    Replaces the [M, C]-space XLA chain (distance mask, masked centroid
+    sum, covariance einsum — ~0.7 ms/scan of kLoop fusions at bench
+    shapes) with one kernel. Moments are taken of OFFSETS from the query
+    point, so f32 never sees world-magnitude squares (one-pass raw
+    moments of world coords would cancel catastrophically); the caller
+    finishes with cov = Sdd/n - m m^T, centroid = q + m.
+    Returns [16, N]: row 0 n, rows 1-3 Sd, rows 4-9 Sdd (xx yy zz xy xz
+    yz), rest zero padding.
+    """
+    n = ptq.shape[1]
+    c = cx.shape[0]
+    assert n % BLK == 0, f"N {n} must be a multiple of {BLK}"
+    scal = radius2.astype(jnp.float32).reshape(1, 1)
+    grid = n // BLK
+    return pl.pallas_call(
+        _moments_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_N_MOM, BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_N_MOM, n), jnp.float32),
+        interpret=interpret,
+    )(ptq, cx, cy, cz, inf, scal)
+
+
 class PreppedCandidates(NamedTuple):
     """Lane-major candidate tensors, transposed ONCE per gather (not per
     GN iteration): points on lanes, candidates/features on sublanes."""
@@ -133,6 +209,65 @@ class PreppedCandidates(NamedTuple):
     cy: jax.Array
     cz: jax.Array
     inf: jax.Array    # [C, N]  0 valid / 1e30 invalid
+
+
+def prep_with_plane_pallas(
+    cand,                 # CandidateSet gathered with fit_planes=False
+    source_mask,          # [N] bool
+    q_w,                  # [N, 3] source at the gather pose
+    radius: jax.Array,    # patch radius (meters)
+    *,
+    loss: str = "plane",
+    interpret: bool = False,
+) -> PreppedCandidates:
+    """Lane-major prep computing the patch plane fit via the fused
+    moments kernel instead of gather_candidates' [M, C]-space XLA chain.
+
+    Transposes the candidate tensors ONCE (they are reused verbatim by
+    every GN iteration), runs :func:`plane_moments_pallas` on them, and
+    finishes the fit (covariance assembly + closed-form smallest
+    eigenpair) on the tiny [N, 3, 3] side in XLA.
+    """
+    from .plane import smallest_eigvec_sym3
+
+    n = cand.pts.shape[0]
+    cx = cand.pts[:, :, 0].T                       # [C, N]
+    cy = cand.pts[:, :, 1].T
+    cz = cand.pts[:, :, 2].T
+    inf = jnp.where(cand.valid, 0.0, jnp.float32(1e30)).T
+
+    if loss != "plane":
+        feat = jnp.concatenate([
+            jnp.zeros((n, 6), jnp.float32),
+            jnp.full((n, 1), -1.0, jnp.float32),
+            source_mask.astype(jnp.float32)[:, None],
+        ], axis=1).T
+        return PreppedCandidates(feat=feat, cx=cx, cy=cy, cz=cz, inf=inf)
+
+    ptq = jnp.concatenate(
+        [q_w, jnp.zeros((n, 5), jnp.float32)], axis=1).T     # [8, N]
+    mom = plane_moments_pallas(
+        ptq, cx, cy, cz, inf, radius * radius, interpret=interpret)
+    n_in = mom[0]
+    denom = jnp.maximum(n_in, 1.0)
+    m = mom[1:4] / denom                                     # [3, N]
+    sq = mom[4:10] / denom
+    cxx, cyy, czz = sq[0] - m[0] ** 2, sq[1] - m[1] ** 2, sq[2] - m[2] ** 2
+    cxy, cxz, cyz = (sq[3] - m[0] * m[1], sq[4] - m[0] * m[2],
+                     sq[5] - m[1] * m[2])
+    cov = jnp.stack([
+        jnp.stack([cxx, cxy, cxz], -1),
+        jnp.stack([cxy, cyy, cyz], -1),
+        jnp.stack([cxz, cyz, czz], -1),
+    ], axis=-2)                                              # [N, 3, 3]
+    normal, quality = smallest_eigvec_sym3(cov)
+    quality = jnp.where(n_in >= 4, quality, 0.0)
+    centroid = q_w + m.T
+    feat = jnp.concatenate([
+        normal, centroid, quality[:, None],
+        source_mask.astype(jnp.float32)[:, None],
+    ], axis=1).T                                             # [8, N]
+    return PreppedCandidates(feat=feat, cx=cx, cy=cy, cz=cz, inf=inf)
 
 
 def prep_candidates(cand, source_mask, *, loss: str = "plane"

@@ -48,3 +48,48 @@ def test_pallas_gn_parity():
         scale_r = float(jnp.max(jnp.abs(jtr0))) + 1e-9
         assert float(jnp.max(jnp.abs(jtr1 - jtr0))) / scale_r < 1e-5
         np.testing.assert_allclose(float(tw0), float(tw1), rtol=1e-5)
+
+
+def test_plane_moments_parity():
+    """prep_with_plane_pallas' fused moments fit must match
+    gather_candidates' XLA patch plane fit (planar scene, so the fits are
+    well-conditioned)."""
+    from ptudes_tpu.ops.pallas_gn import prep_with_plane_pallas
+    rng = np.random.default_rng(7)
+    m = hashmap.create(1 << 14, 16)
+    xy = rng.uniform(-15, 15, (40000, 2)).astype(np.float32)
+    z = (0.2 * xy[:, 0] + 0.1 * xy[:, 1]
+         + rng.normal(scale=0.01, size=40000)).astype(np.float32)
+    pts = np.column_stack([xy, z])
+    keep = voxel.first_in_voxel_mask(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), 0.15, 1 << 17)
+    m = hashmap.insert_deduped(m, jnp.asarray(pts), keep, voxel_size=0.3,
+                               max_probes=2, new_capacity=8192)
+    n = 2 * BLK
+    sxy = rng.uniform(-14, 14, (n, 2)).astype(np.float32)
+    src = np.column_stack(
+        [sxy, (0.2 * sxy[:, 0] + 0.1 * sxy[:, 1])]).astype(np.float32)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.9)
+    tj = jnp.eye(4, dtype=jnp.float32)
+    src = jnp.asarray(src)
+    cand = icp.gather_candidates(
+        m, src, voxel_size=0.3, max_probes=2, neighborhood=7,
+        n_voxels=4, fit_planes=True, plane_radius=0.6)
+    q_w = se3.transform(tj, src)
+    prepped = prep_with_plane_pallas(
+        cand, mask, q_w, jnp.asarray(0.6, jnp.float32),
+        loss="plane", interpret=True)
+    # feat rows: normal(3), centroid(3), quality, mask
+    n_ref = np.asarray(cand.normal)
+    c_ref = np.asarray(cand.centroid)
+    q_ref = np.asarray(cand.quality)
+    feat = np.asarray(prepped.feat)
+    ok = q_ref > 0.3  # well-conditioned fits compare stably
+    assert ok.sum() > 500
+    # normals defined up to sign
+    dots = np.abs(np.sum(feat[0:3].T[ok] * n_ref[ok], axis=1))
+    assert np.quantile(dots, 0.01) > 0.999
+    np.testing.assert_allclose(feat[3:6].T[ok], c_ref[ok], atol=2e-3)
+    np.testing.assert_allclose(feat[6][ok], q_ref[ok], atol=2e-2)
+    np.testing.assert_allclose(
+        feat[7], np.asarray(mask).astype(np.float32))
