@@ -125,3 +125,11 @@ class PipelineConfig:
     # columns are a few cm apart — far below the 0.5*voxel downsample —
     # so N=2 halves every full-width stage's cost for free; 1 disables
     col_decimation: int = 1
+    # number of leading scans run with the full-overflow map insert
+    # (whole frame lands in the map at once); -1 = all scans (exact map
+    # semantics, default). A small value makes the steady tail insert at
+    # most cap.max_new_per_scan new points per scan and retry the rest —
+    # skips the overflow loop's carry boundary (~2% faster at ppv=8) at
+    # the cost of a persistently sparser map when scene turnover outruns
+    # the per-scan insert budget (bench: ATE 0.0205 -> 0.0251)
+    bootstrap_scans: int = -1

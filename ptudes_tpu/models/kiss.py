@@ -89,7 +89,8 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess", "grid_hw"))
+@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess", "grid_hw",
+                                   "insert_overflow"))
 def register_scan(
     state: KissState,
     pts: jax.Array,        # [N, 3] points in the sensor/nav frame
@@ -103,6 +104,7 @@ def register_scan(
     deskew_twist: jax.Array | None = None,
     update_ok: jax.Array | None = None,
     grid_hw: tuple[int, int] | None = None,
+    insert_overflow: bool = True,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
@@ -231,6 +233,7 @@ def register_scan(
         state.local_map, frame_w, frame_mask & ok,
         voxel_size=vs, max_probes=cap.max_probes,
         new_capacity=cap.max_new_per_scan,
+        overflow=insert_overflow,
     )
     local_map = hashmap.remove_far(
         local_map, se3.trans(new_pose),

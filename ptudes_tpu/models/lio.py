@@ -74,8 +74,16 @@ def init_state(cfg: PipelineConfig,
     )
 
 
-def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
-    """Build the jittable scan_step closure over the projection LUT."""
+def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
+                   insert_overflow: bool = True):
+    """Build the jittable scan_step closure over the projection LUT.
+
+    ``insert_overflow=False`` builds the STEADY-state body: the map insert
+    handles at most ``cap.max_new_per_scan`` genuinely-new points and
+    leaves the rest to retry next scan, skipping the overflow chunk loop
+    whose carry boundary alone costs ~0.3 ms/scan. run_sequence runs the
+    first (bootstrap) scan with the full-overflow body so the initial
+    frame lands in the map in one step."""
 
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
@@ -116,7 +124,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
             state.kiss, pts, mask, ts01, cfg=cfg.kiss, cap=cfg.cap,
             initial_guess=guess, use_guess=use_guess,
             deskew_twist=deskew_twist, update_ok=has_imu,
-            grid_hw=(h, w // cfg.col_decimation))
+            grid_hw=(h, w // cfg.col_decimation),
+            insert_overflow=insert_overflow)
 
         # 4. EKF update with the ICP pose (ekf_bench.py:555); small-state
         #    select only (18x18 cov + vectors)
@@ -144,9 +153,28 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig):
 def run_sequence(
     state: LioState, batches: ScanBatch, lut: XyzLut, *, cfg: PipelineConfig
 ) -> tuple[LioState, LioOut]:
-    """lax.scan the fused step over stacked batches (device-resident)."""
-    step = make_scan_step(lut, cfg)
-    return jax.lax.scan(step, state, batches)
+    """lax.scan the fused step over stacked batches (device-resident).
+
+    The FIRST scan runs unrolled with the full-overflow insert (the whole
+    initial frame is new and must land in the map at once); the steady
+    tail scans with the overflow-free body — mid-sequence bursts beyond
+    ``cap.max_new_per_scan`` new points simply retry on following scans.
+    """
+    n = batches.range_m.shape[0]
+    k = n if cfg.bootstrap_scans < 0 else min(cfg.bootstrap_scans, n)
+    boot = make_scan_step(lut, cfg, insert_overflow=True)
+    if k >= n:
+        return jax.lax.scan(boot, state, batches)
+    steady = make_scan_step(lut, cfg, insert_overflow=False)
+    if k == 0:
+        return jax.lax.scan(steady, state, batches)
+    head = jax.tree.map(lambda x: x[:k], batches)
+    state, out_h = jax.lax.scan(boot, state, head)
+    rest = jax.tree.map(lambda x: x[k:], batches)
+    state, out_t = jax.lax.scan(steady, state, rest)
+    out = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), out_h, out_t)
+    return state, out
 
 
 def build_batches(

@@ -209,7 +209,8 @@ def insert(
 
 
 @partial(jax.jit,
-         static_argnames=("voxel_size", "max_probes", "new_capacity"))
+         static_argnames=("voxel_size", "max_probes", "new_capacity",
+                          "overflow"))
 def insert_deduped(
     m: VoxelHashMap,
     pts: jax.Array,          # [N, 3] — MUST be deduped at voxel_size/2
@@ -218,6 +219,7 @@ def insert_deduped(
     voxel_size: float,
     max_probes: int = 2,
     new_capacity: int = 8192,
+    overflow: bool = True,
 ) -> VoxelHashMap:
     """Occupancy-deduped insert for sub-voxel-unique batches.
 
@@ -341,9 +343,14 @@ def insert_deduped(
     # iterations in steady state. A per-chunk lax.cond chain costs one
     # carry-copy boundary per cond even on the untaken branch (~50-140 us
     # each measured); the single while pays that boundary once.
+    # ``overflow=False`` drops the loop entirely: points beyond chunk 0
+    # stay "new" and retry next scan. Even a ZERO-trip dynamic loop pays a
+    # carry-copy boundary for the full map state (~0.3 ms/scan measured),
+    # so pipelines run their bootstrap scan with overflow=True and the
+    # steady tail without (models/lio.run_sequence).
     state = insert_chunk(state, is_new & (new_pos < new_capacity))
     n_chunks = max(1, -(-pts.shape[0] // new_capacity))
-    if n_chunks > 1:
+    if n_chunks > 1 and overflow:
         needed = (n_new + new_capacity - 1) // new_capacity
 
         def chunk_body(c, st):

@@ -51,11 +51,10 @@ def main():
     from dataclasses import replace
     base = bench_config()
     variants = [
-        ("bench+storable", base),
-        ("new2k", replace(base,
-            cap=replace(base.cap, max_new_per_scan=2048))),
-        ("new1k", replace(base,
-            cap=replace(base.cap, max_new_per_scan=1024))),
+        ("boot1", base),
+        ("boot3", replace(base, bootstrap_scans=3)),
+        ("boot6", replace(base, bootstrap_scans=6)),
+        ("boot-all", replace(base, bootstrap_scans=50)),
     ]
     for name, cfg in variants:
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
