@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from .. import GRAV
 from ..config import EkfConfig
 from ..geom import se3, so3
+from ..geom.linalg import solve_spd6
 
 STATE_RANK = 18
 POS, VEL, PHI, BG, BA, G = 0, 3, 6, 9, 12, 15
@@ -201,7 +202,9 @@ def process_pose(
 
     p = s.cov
     smat = jp @ p @ jp.T + meas_cov
-    k = p @ jp.T @ jnp.linalg.inv(smat)
+    # K = P J^T S^-1 via an unrolled SPD solve (S is 6x6 SPD);
+    # jnp.linalg.inv lowers to an LU custom call with real latency
+    k = solve_spd6(smat, (p @ jp.T).T).T
     dx = k @ resid
 
     ikj = jnp.eye(STATE_RANK, dtype=jnp.float32) - k @ jp

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import se3, so3
+from ..geom.linalg import solve_spd6
 from . import hashmap
 from .plane import smallest_eigvec_sym3, voxel_plane
 
@@ -353,7 +354,7 @@ def register_frame_cached(
             jtr = jtr + wp * xi
 
         jtj = jtj + 1e-8 * jnp.eye(6, dtype=jtj.dtype)
-        dx = jnp.linalg.solve(jtj, -jtr)
+        dx = solve_spd6(jtj, -jtr)
         dx = jnp.where(converged, 0.0, dx)
 
         t_new = se3.exp_twist(dx) @ t_cur
@@ -494,7 +495,7 @@ def register_frame(
 
         # Tikhonov floor: invertible with zero correspondences -> dx = 0
         jtj = jtj + 1e-8 * jnp.eye(6, dtype=jtj.dtype)
-        dx = jnp.linalg.solve(jtj, -jtr)
+        dx = solve_spd6(jtj, -jtr)
         dx = jnp.where(converged, 0.0, dx)
 
         t_new = se3.exp_twist(dx) @ t_cur

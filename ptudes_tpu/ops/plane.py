@@ -31,10 +31,18 @@ def smallest_eigvec_sym3(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     numerically guarded for repeated eigenvalues.
     """
     eps = 1e-12
-    m = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
-    b = a - m[..., None, None] * jnp.eye(3, dtype=a.dtype)
-    q = jnp.trace(b @ b, axis1=-2, axis2=-1) / 6.0
-    det = jnp.linalg.det(b) / 2.0
+    # explicit symmetric-entry arithmetic: jnp.trace(b @ b) and
+    # jnp.linalg.det lower to batched matmul / LU custom calls (~0.25
+    # ms/scan at 8k fits); the closed forms are pure elementwise VPU work
+    axx, ayy, azz = a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]
+    axy, axz, ayz = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    m = (axx + ayy + azz) / 3.0
+    bxx, byy, bzz = axx - m, ayy - m, azz - m
+    q = (bxx * bxx + byy * byy + bzz * bzz
+         + 2.0 * (axy * axy + axz * axz + ayz * ayz)) / 6.0
+    det = (bxx * (byy * bzz - ayz * ayz)
+           - axy * (axy * bzz - ayz * axz)
+           + axz * (axy * ayz - byy * axz)) / 2.0
     sq = jnp.sqrt(jnp.maximum(q, eps))
     # clamp for acos
     r = jnp.clip(det / jnp.maximum(sq**3, eps), -1.0, 1.0)

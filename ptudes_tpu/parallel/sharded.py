@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import PipelineConfig
-from ..geom import se3, so3
+from ..geom import linalg, se3, so3
 from ..ops import hashmap, icp, voxel
 from ..ops import deskew as deskew_ops
 from ..ops.projection import XyzLut, scan_to_points
@@ -126,7 +126,7 @@ def make_sharded_scan_step(lut: XyzLut, cfg: PipelineConfig, mesh: Mesh):
                 jtj = jtj + jnp.diag(wp)
                 jtr = jtr + wp * xi
             jtj = jtj + 1e-8 * jnp.eye(6, dtype=jnp.float32)
-            dx = jnp.linalg.solve(jtj, -jtr)
+            dx = linalg.solve_spd6(jtj, -jtr)
             dx = jnp.where(converged, 0.0, dx)
             t_new = se3.exp_twist(dx) @ t_cur
             return t_new, t_gather, cand, converged | (
