@@ -419,6 +419,130 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                               np.asarray(out.aux.sigma))
 
 
+@ekf_bench.command(name="sweep")
+@click.argument("file", type=click.Path(exists=True))
+@click.option("-m", "--meta", type=click.Path(exists=True), default=None)
+@click.option("--start-scan", type=int, default=0)
+@click.option("--end-scan", type=int, default=None)
+@click.option("-g", "--gt-file", type=click.Path(exists=True), default=None)
+@click.option("--kiss-min-range", type=float, default=1.0)
+@click.option("--kiss-max-range", type=float, default=70.0)
+@click.option("--loss", type=click.Choice(["plane", "point"]),
+              default="plane")
+@click.option("--beams", default=None,
+              help="Comma list of active-beam counts, one LIO variant per "
+              "entry (low-res sensor simulation), e.g. 128,64,32,16")
+@click.option("--bacc-z", default=None,
+              help="Comma list of initial accel-bias-z hypotheses (m/s^2), "
+              "one EKF variant per entry, e.g. -0.2,-0.1,0,0.1,0.2")
+@click.option("--replicas", type=int, default=None,
+              help="No parameter sweep: run N identical replicas "
+              "(data-parallel throughput check)")
+def cmd_ekf_sweep(file, meta, start_scan, end_scan, gt_file, kiss_min_range,
+                  kiss_max_range, loss, beams, bacc_z, replicas):
+    """Batched multi-variant LIO replay: run B pipeline variants of one
+    recording IN PARALLEL as a single vmapped program, sharded over the
+    'bag' mesh axis when more than one device is available.
+
+    The reference runs one configuration per process; here beam-count
+    degradation studies (``--beams``) and EKF initial-bias hypothesis
+    sweeps (``--bacc-z``) execute concurrently on the slice — the
+    embarrassingly-parallel axis the TPU design adds (SURVEY.md 2c).
+    """
+    import jax
+    from ..io.poses import filter_nc_gt_by_close_ts, read_newer_college_gt
+    from ..models import lio
+    from ..ops.projection import reduce_active_beams_mask
+    from ..parallel import mesh as mesh_lib
+    from ..parallel import replay
+    from ..utils.metrics import calc_ate_rmse
+
+    chosen = [o for o in (beams, bacc_z, replicas) if o]
+    if len(chosen) != 1:
+        raise click.ClickException(
+            "pick exactly one of --beams / --bacc-z / --replicas")
+
+    info, scans, imu, meta_path = _load_source(file, meta)
+    scans = scans.window(start_scan, end_scan)
+    cfg = PipelineConfig(
+        kiss=KissConfig(max_range=kiss_max_range, min_range=kiss_min_range,
+                        deskew=True, loss=loss),
+        cap=Capacity(max_points=info.h * info.w),
+        ekf=EkfConfig(),
+        guess="ekf",
+    )
+    lut = _nav_frame_lut(info)
+    range_m = scans.range_mm.astype(np.float32) * info.range_unit_m()
+
+    variants, batch_list, state_list = [], [], []
+    if beams:
+        for b in [int(x) for x in beams.split(",")]:
+            keep = reduce_active_beams_mask(info.h, b)
+            batch_list.append(lio.build_batches(
+                cfg, range_m * keep[None, :, None], scans.ts,
+                imu.lacc, imu.avel, imu.ts))
+            state_list.append(lio.init_state(cfg))
+            variants.append(f"beams={b}")
+    elif bacc_z:
+        base = lio.build_batches(cfg, range_m, scans.ts, imu.lacc,
+                                 imu.avel, imu.ts)
+        for v in [float(x) for x in bacc_z.split(",")]:
+            batch_list.append(base)
+            state_list.append(lio.init_state(
+                cfg, init_bacc=np.asarray([0.0, 0.0, v], np.float32)))
+            variants.append(f"bacc_z={v:+.3f}")
+    else:
+        base = lio.build_batches(cfg, range_m, scans.ts, imu.lacc,
+                                 imu.avel, imu.ts)
+        for r in range(int(replicas)):
+            batch_list.append(base)
+            state_list.append(lio.init_state(cfg))
+            variants.append(f"replica {r}")
+
+    nb = len(variants)
+    states = replay.stack_bags(state_list)
+    batches = replay.stack_bags(batch_list)
+    ndev = len(jax.devices())
+    m = mesh_lib.make_mesh(n_bags=nb) if (ndev >= nb and nb > 1
+                                          and ndev % nb == 0) else None
+    print(f"variants: {nb}, devices: {ndev}, "
+          f"mesh: {dict(m.shape) if m else 'single-device vmap'}")
+
+    t0 = time.monotonic()
+    fin, out = replay.replay_bags(states, batches, lut, cfg, mesh=m)
+    float(np.asarray(out.kiss_pose[0, -1, 0, 0]))
+    t_first = time.monotonic() - t0
+    t0 = time.monotonic()
+    fin, out = replay.replay_bags(states, batches, lut, cfg, mesh=m)
+    float(np.asarray(out.kiss_pose[0, -1, 0, 0]))
+    t_steady = time.monotonic() - t0
+    n = len(scans)
+    print(f"{nb} x {n} scans in {t_steady:.3f} s steady-state "
+          f"({nb * n / max(t_steady, 1e-9):.1f} scans/s aggregate; "
+          f"compile {t_first - t_steady:.1f} s)\n")
+
+    gts = read_newer_college_gt(gt_file) if gt_file else []
+    ekf_poses = np.asarray(out.ekf_pose, np.float64)
+    kiss_poses = np.asarray(out.kiss_pose, np.float64)
+    print(f"{'variant':>16s}  {'drift[m]':>9s}"
+          + ("  ate_rmse[m]  kiss_rmse[m]" if gts else ""))
+    gt2 = idx = None
+    if gts:
+        gts_m, res_t_m = filter_nc_gt_by_close_ts(gts, list(scans.ts))
+        if gts_m:
+            idx = np.searchsorted(scans.ts, res_t_m)
+            gt2 = np.asarray([g[1] for g in gts_m])
+    for b in range(nb):
+        drift = float(np.linalg.norm(
+            ekf_poses[b, -1, :3, 3] - ekf_poses[b, 0, :3, 3]))
+        line = f"{variants[b]:>16s}  {drift:9.3f}"
+        if gt2 is not None:
+            _, rt = calc_ate_rmse(ekf_poses[b, idx], gt2)
+            _, rtk = calc_ate_rmse(kiss_poses[b, idx], gt2)
+            line += f"  {rt:11.4f}  {rtk:12.4f}"
+        print(line)
+
+
 @ekf_bench.command(name="cmp")
 @click.argument("gt_file", type=click.Path(exists=True))
 @click.argument("gt_file_cmp", nargs=-1, type=click.Path(exists=True))
