@@ -161,3 +161,21 @@ def test_vmap_multibag(sim_run):
         kerr = np.linalg.norm(
             np.asarray(out.kiss_pose)[b, :, :3, 3] - rel[:, :3, 3], axis=1)
         assert np.mean(kerr**2) < 0.05
+
+
+def test_bootstrap_split_matches_full_overflow(sim_run):
+    """bootstrap_scans=k (steady tail without the insert overflow loop)
+    must track the full-overflow pipeline: on a slow-turnover scene the
+    per-scan new-point budget covers everything after the first scans, so
+    the trajectories agree to registration noise."""
+    import dataclasses
+    sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
+    cfg_full = make_cfg()
+    cfg_boot = dataclasses.replace(cfg_full, bootstrap_scans=2)
+    _, out_full = run(cfg_full, sensor, ts, scans, imu, imu_ts)
+    _, out_boot = run(cfg_boot, sensor, ts, scans, imu, imu_ts)
+    kf = np.asarray(out_full.kiss_pose)
+    kb = np.asarray(out_boot.kiss_pose)
+    d = np.linalg.norm(kf[:, :3, 3] - kb[:, :3, 3], axis=1)
+    assert np.isfinite(kb).all()
+    assert d.max() < 0.1, f"bootstrap-split diverged {d.max():.4f} m"
