@@ -289,11 +289,18 @@ def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
               help="Export per-update EKF debug scenes (PLY+JSON) to DIR "
               "(replaces the reference's 3D ekf_viz debug viewer)")
 @click.option("--debug-scene-stride", type=int, default=5)
+@click.option("--save-state", type=click.Path(), default=None,
+              help="Checkpoint the final pipeline state (voxel map + EKF "
+              "+ covariance) to FILE.npz; resume with --resume-state")
+@click.option("--resume-state", type=click.Path(exists=True), default=None,
+              help="Start from a state checkpoint instead of a fresh "
+              "state (continue a windowed run bit-exact)")
 @click.option("-p", "--plot", type=str, default=None)
 def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
                    beams, loss, save_kitti_poses, save_nc_gt_poses,
-                   save_map_ply, save_debug_scene, debug_scene_stride, plot):
+                   save_map_ply, save_debug_scene, debug_scene_stride,
+                   save_state, resume_state, plot):
     """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
     ES-EKF smoothing (reference ``ekf-bench ouster``,
     ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
@@ -342,10 +349,19 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         gp0 = np.linalg.inv(gp[gvalid][0]) if gvalid.any() else np.eye(4)
         guess_poses = np.einsum("ij,njk->nik", gp0, gp)
 
+    origin = lio.time_origin(scans.ts, imu.ts)
+    state = lio.init_state(cfg)
+    if resume_state:
+        from ..utils.checkpoint import checkpoint_extra, load_state
+        state = load_state(resume_state, state)
+        # continue on the checkpoint's clock so the carried EKF timestamp
+        # lines up with the new window's rebased times
+        origin = checkpoint_extra(resume_state).get("time_origin", origin)
+        print(f"resumed pipeline state from {resume_state} "
+              f"(time origin {origin:.3f})")
     batches = lio.build_batches(
         cfg, range_m, scans.ts, imu.lacc, imu.avel, imu.ts,
-        guess_poses=guess_poses)
-    state = lio.init_state(cfg)
+        guess_poses=guess_poses, time_origin=origin)
 
     def _sync(o):
         # force a device->host scalar: block_until_ready is unreliable
@@ -389,6 +405,13 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         from ..viz.cloud import map_to_points, save_ply
         save_ply(save_map_ply, map_to_points(fin.kiss.local_map))
         print(f"Local map saved to: {save_map_ply}")
+    if save_state:
+        from ..utils.checkpoint import save_state as _save_state
+        _save_state(save_state, fin,
+                    extra={"file": str(file), "scans": int(n),
+                           "end_scan_ts": float(res_t[-1]),
+                           "time_origin": float(origin)})
+        print(f"Pipeline state checkpoint saved to: {save_state}")
     if save_debug_scene:
         from ..viz.debug_scene import export_debug_scenes
         idx = export_debug_scenes(save_debug_scene, cfg, lut, batches,

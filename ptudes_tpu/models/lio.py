@@ -177,6 +177,20 @@ def run_sequence(
     return state, out
 
 
+def time_origin(scan_ts, imu_ts) -> float:
+    """The f64 time origin :func:`build_batches` subtracts before the f32
+    cast. Record it (e.g. in a state checkpoint) and pass it back via
+    ``build_batches(..., time_origin=...)`` to continue a run: the carried
+    EKF timestamp is relative to this origin, so a resumed segment must
+    rebase against the ORIGINAL origin, not its own start."""
+    t0 = min(float(scan_ts[0]) if len(scan_ts) else np.inf,
+             float(imu_ts[0]) if len(imu_ts) else np.inf)
+    return t0 if np.isfinite(t0) else 0.0
+
+
+_time_origin_fn = time_origin  # un-shadowed alias for build_batches
+
+
 def build_batches(
     cfg: PipelineConfig,
     range_m: np.ndarray,       # [N, H, W] meters
@@ -185,6 +199,7 @@ def build_batches(
     imu_avel: np.ndarray,      # [M, 3]
     imu_ts: np.ndarray,        # [M]
     guess_poses: np.ndarray | None = None,  # [N, 4, 4] for gt mode
+    time_origin: float | None = None,
 ) -> ScanBatch:
     """Host-side batcher: window IMU samples per scan interval.
 
@@ -199,10 +214,8 @@ def build_batches(
     """
     scan_ts = np.asarray(scan_ts, np.float64)
     imu_ts = np.asarray(imu_ts, np.float64)
-    t0 = min(scan_ts[0] if len(scan_ts) else np.inf,
-             imu_ts[0] if len(imu_ts) else np.inf)
-    if not np.isfinite(t0):
-        t0 = 0.0
+    t0 = (_time_origin_fn(scan_ts, imu_ts)
+          if time_origin is None else float(time_origin))
     scan_ts = scan_ts - t0
     imu_ts = imu_ts - t0
     n = len(scan_ts)
