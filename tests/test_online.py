@@ -1,0 +1,42 @@
+"""Streaming driver parity: scan-by-scan LioOnline must match the batch
+run_sequence on the same data (same scan_step, same IMU windowing)."""
+import numpy as np
+import jax
+
+from ptudes_tpu.models import lio
+from ptudes_tpu.models.online import LioOnline
+
+from test_lio import make_cfg, sim_run  # noqa: F401 (fixture reuse)
+
+
+def test_online_matches_batch(sim_run):  # noqa: F811
+    sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
+    cfg = make_cfg()
+
+    batches = lio.build_batches(cfg, scans, ts, np.asarray(imu.lacc),
+                                np.asarray(imu.avel), imu_ts)
+    _, out_batch = lio.run_sequence(
+        lio.init_state(cfg), batches, sensor.lut, cfg=cfg)
+
+    # interleave the same stream (epoch-shifted clocks: the online driver
+    # must self-rebase) — IMU samples arrive before the scan that
+    # consumes them, like a live sensor
+    epoch = 1.7e9
+    odo = LioOnline(cfg, sensor.lut, time_origin=epoch + float(
+        min(ts[0], imu_ts[0])))
+    lacc = np.asarray(imu.lacc)
+    avel = np.asarray(imu.avel)
+    outs = []
+    j = 0
+    for i in range(len(ts)):
+        while j < len(imu_ts) and imu_ts[j] <= ts[i]:
+            odo.push_imu(lacc[j], avel[j], epoch + imu_ts[j])
+            j += 1
+        outs.append(odo.push_scan(scans[i], epoch + ts[i]))
+    kp_b = np.asarray(out_batch.kiss_pose)
+    kp_o = np.stack([np.asarray(o.kiss_pose) for o in outs])
+    np.testing.assert_allclose(kp_o, kp_b, atol=1e-4)
+    ep_b = np.asarray(out_batch.ekf_pose)
+    ep_o = np.stack([np.asarray(o.ekf_pose) for o in outs])
+    np.testing.assert_allclose(ep_o, ep_b, atol=1e-4)
+    assert odo.n_dropped_imu == 0
