@@ -51,10 +51,23 @@ def main():
     from dataclasses import replace
     base = bench_config()
     variants = [
-        ("boot1", base),
-        ("boot3", replace(base, bootstrap_scans=3)),
-        ("boot6", replace(base, bootstrap_scans=6)),
-        ("boot-all", replace(base, bootstrap_scans=50)),
+        ("bench", base),
+        ("vox0.25", replace(base,
+            kiss=replace(base.kiss, voxel_size=0.25))),
+        ("vox0.35", replace(base,
+            kiss=replace(base.kiss, voxel_size=0.35))),
+        ("prior.005", replace(base,
+            kiss=replace(base.kiss, prior_rot_weight=0.005,
+                         prior_trans_weight=0.005))),
+        ("prior.02", replace(base,
+            kiss=replace(base.kiss, prior_rot_weight=0.02,
+                         prior_trans_weight=0.02))),
+        ("nnvox6", replace(base,
+            kiss=replace(base.kiss, nn_voxels=6))),
+        ("planeq0.1", replace(base,
+            kiss=replace(base.kiss, plane_min_quality=0.1))),
+        ("iters30", replace(base,
+            kiss=replace(base.kiss, max_iterations=30))),
     ]
     for name, cfg in variants:
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
