@@ -124,34 +124,70 @@ def bench_tpu(scans, scan_ts, gt_mid, imu_ts):
     }
 
 
-def bench_cpu_oracle(scans, n=8):
-    """f64 numpy KD-tree oracle of the same algorithm on host CPU."""
+def bench_cpu_oracle(scans, gt_mid):
+    """f64 numpy KD-tree oracle of the same algorithm on host CPU: runs
+    the FULL bench sequence (vectorized GN, const-velocity deskew) and
+    returns (scans/s, ATE RMSE m) so the TPU quality gate is RELATIVE to
+    the same algorithm's f64 answer on the same data."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     from oracle_kiss import OracleKiss
     from ptudes_tpu.models import sim
     from ptudes_tpu.ops import projection
+    from ptudes_tpu.utils.metrics import calc_ate_rmse
     import jax.numpy as jnp
 
+    n = len(scans)
     sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
     ok = OracleKiss(voxel_size=0.3, max_range=70.0, min_range=1.0,
                     max_iters=30)
     pts_list = []
     for i in range(n):
-        pts, mask, _ = projection.scan_to_points(
+        pts, mask, ts01 = projection.scan_to_points(
             sensor.lut, jnp.asarray(scans[i]))
-        pts_list.append(np.asarray(pts, np.float64)[np.asarray(mask)])
+        m = np.asarray(mask)
+        pts_list.append((np.asarray(pts, np.float64)[m],
+                         np.asarray(ts01, np.float64)[m]))
     t0 = time.monotonic()
-    for p in pts_list:
-        ok.register(p)
+    for p, t01 in pts_list:
+        ok.register(p, ts01=t01)
     dt = time.monotonic() - t0
-    return n / dt
+    _, ate_rmse = calc_ate_rmse(np.asarray(ok.poses), gt_mid)
+    return n / dt, float(ate_rmse)
+
+
+def bench_replicas(scans, scan_ts, imu_ts, counts=(2, 4, 8)):
+    """Single-chip aggregate throughput with N identical vmapped replicas
+    (utilization-headroom probe; VERDICT r1 weak #3)."""
+    import jax
+    from ptudes_tpu.models import lio, sim
+    from ptudes_tpu.parallel import replay
+
+    sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
+    imu = sim.imu_for_circle(imu_ts, radius=RADIUS, speed=SPEED, ramp=RAMP)
+    cfg = bench_config()
+    base = lio.build_batches(
+        cfg, scans, scan_ts, np.asarray(imu.lacc), np.asarray(imu.avel),
+        imu_ts)
+    out_rows = {}
+    for r in counts:
+        states = replay.stack_bags([lio.init_state(cfg) for _ in range(r)])
+        batches = replay.stack_bags([base] * r)
+        fin, out = replay.replay_bags(states, batches, sensor.lut, cfg)
+        jax.block_until_ready(out.kiss_pose)
+        t0 = time.monotonic()
+        fin, out = replay.replay_bags(states, batches, sensor.lut, cfg)
+        jax.block_until_ready(out.kiss_pose)
+        dt = time.monotonic() - t0
+        out_rows[f"x{r}"] = round(r * N_SCANS / dt, 1)
+    return out_rows
 
 
 def main():
     scans, scan_ts, gt_mid, imu_ts = make_data()
     tpu = bench_tpu(scans, scan_ts, gt_mid, imu_ts)
-    cpu_scans_per_sec = bench_cpu_oracle(scans)
+    cpu_scans_per_sec, cpu_ate = bench_cpu_oracle(scans, gt_mid)
+    replicas = bench_replicas(scans, scan_ts, imu_ts)
     result = {
         "metric": "lio_scans_per_sec_per_chip",
         "value": round(tpu["scans_per_sec"], 3),
@@ -159,10 +195,19 @@ def main():
         "vs_baseline": round(tpu["scans_per_sec"] / cpu_scans_per_sec, 3),
         "baseline": {
             "what": "f64 numpy/scipy KD-tree oracle of the same algorithm "
-                    "on host CPU (kiss-icp C++ not available)",
+                    "(vectorized GN, const-velocity deskew) on host CPU, "
+                    "full 50-scan sequence (kiss-icp C++ not available)",
             "cpu_scans_per_sec": round(cpu_scans_per_sec, 3),
+            "cpu_ate_rmse_m": round(cpu_ate, 4),
         },
-        "quality": {"ate_rmse_m": round(tpu["ate_rmse_m"], 4)},
+        "quality": {
+            "ate_rmse_m": round(tpu["ate_rmse_m"], 4),
+            "vs_oracle_ate": round(tpu["ate_rmse_m"] / max(cpu_ate, 1e-9),
+                                   3),
+            "gate": "tpu ATE <= 1.05x oracle ATE",
+            "gate_pass": bool(tpu["ate_rmse_m"] <= 1.05 * cpu_ate),
+        },
+        "replica_aggregate_scans_per_sec": replicas,
         "compile_s": round(tpu["compile_s"], 1),
         "device": tpu["device"],
     }

@@ -351,29 +351,36 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
 
     origin = lio.time_origin(scans.ts, imu.ts)
     state = lio.init_state(cfg)
+    prev_scan_ts = None
     if resume_state:
         from ..utils.checkpoint import checkpoint_extra, load_state
         state = load_state(resume_state, state)
         # continue on the checkpoint's clock so the carried EKF timestamp
-        # lines up with the new window's rebased times
-        origin = checkpoint_extra(resume_state).get("time_origin", origin)
+        # lines up with the new window's rebased times, and window IMU to
+        # strictly after the checkpoint's last scan so already-integrated
+        # samples are not re-fed (negative-dt backwards mechanization)
+        extra = checkpoint_extra(resume_state)
+        origin = extra.get("time_origin", origin)
+        prev_scan_ts = extra.get("end_scan_ts")
         print(f"resumed pipeline state from {resume_state} "
               f"(time origin {origin:.3f})")
     batches = lio.build_batches(
         cfg, range_m, scans.ts, imu.lacc, imu.avel, imu.ts,
-        guess_poses=guess_poses, time_origin=origin)
+        guess_poses=guess_poses, time_origin=origin,
+        prev_scan_ts=prev_scan_ts)
 
     def _sync(o):
         # force a device->host scalar: block_until_ready is unreliable
         # through async device tunnels
         float(np.asarray(o.kiss_pose[-1, 0, 0]))
 
+    want_log = plot == "graphs"
     t0 = time.monotonic()
-    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg, log=want_log)
     _sync(out)
     t_first = time.monotonic() - t0
     t0 = time.monotonic()
-    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg)
+    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg, log=want_log)
     _sync(out)
     t_steady = time.monotonic() - t0
     n = len(scans)
@@ -436,7 +443,26 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                 print(f"ATE RMSE:  {rr:.04f} deg / {rt:.04f} m")
 
     if plot == "graphs":
-        from ..viz.graphs import kiss_innovation_graph
+        # full reference figure set for the flagship mode
+        # (src/ptudes/cli/ekf_bench.py:640-659): IMU-rate EKF diagnostic
+        # grid with kiss-only + GT trajectory overlays, then the
+        # innovation/adaptive-sigma traces
+        from ..viz.graphs import ekf_graphs, kiss_innovation_graph
+        flog = lio.flatten_filter_log(out.flog, batches.imu_valid)
+        iv = np.asarray(batches.imu_valid).reshape(-1)
+        lacc = np.asarray(batches.imu.lacc).reshape(-1, 3)[iv]
+        avel = np.asarray(batches.imu.avel).reshape(-1, 3)[iv]
+        rel_scan_t = np.asarray(batches.scan_ts)
+        gt2 = None
+        if gts:
+            gts_m, res_t_m = filter_nc_gt_by_close_ts(gts, list(res_t))
+            if gts_m:
+                gt2 = (np.asarray(res_t_m) - res_t[0] + rel_scan_t[0],
+                       np.asarray([g[1] for g in gts_m]))
+        ekf_graphs(flog, imu_lacc=lacc, imu_avel=avel,
+                   gt=(rel_scan_t, kiss_poses), gt2=gt2, xy_plot=True,
+                   labels=["ES EKF KissICP smoothed poses",
+                           "KissICP only poses", "GT poses"])
         kiss_innovation_graph(res_t, np.asarray(out.aux.err_dt),
                               np.asarray(out.aux.err_drot),
                               np.asarray(out.aux.sigma))

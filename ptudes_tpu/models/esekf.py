@@ -116,8 +116,13 @@ def _set_blk(m: jax.Array, i: int, j: int, b: jax.Array) -> jax.Array:
 def process_imu(s: EkfState, imu: Imu, *, cfg: EkfConfig) -> EkfState:
     """EKF predict (reference ``processImu`` + ``_insMech``,
     ``src/ptudes/ins/es_ekf.py:191-257``). The first sample only latches the
-    timestamp, like the reference's ``_imu_initialized`` gate."""
-    dt = imu.ts - s.imu_ts
+    timestamp, like the reference's ``_imu_initialized`` gate.
+
+    Samples at or before the carried timestamp are no-ops (dt clamped to 0,
+    timestamp kept monotonic): stale/replayed IMU data must not mechanize
+    the state backwards or inject negative process noise."""
+    dt = jnp.maximum(imu.ts - s.imu_ts, 0.0)
+    ts_next = jnp.maximum(imu.ts, s.imu_ts)
 
     r_prev = so3.quat_to_mat(s.quat)
     acc_body = imu.lacc - s.bias_acc
@@ -155,7 +160,7 @@ def process_imu(s: EkfState, imu: Imu, *, cfg: EkfConfig) -> EkfState:
     new = EkfState(
         pos=pos, vel=vel, quat=quat,
         bias_gyr=s.bias_gyr, bias_acc=s.bias_acc, grav=s.grav,
-        cov=cov, imu_ts=imu.ts, initialized=jnp.asarray(True),
+        cov=cov, imu_ts=ts_next, initialized=jnp.asarray(True),
     )
     # first IMU (or invalid) only latches ts
     latch = s._replace(imu_ts=imu.ts, initialized=jnp.asarray(True))
@@ -289,20 +294,35 @@ def run_filter(
     return jax.lax.scan(step, s, (imus, corr_mask, corr_poses))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "log"))
 def process_imu_batch(
-    s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig
-) -> EkfState:
+    s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig,
+    log: bool = False,
+):
     """Run a padded block of IMU samples through predict under lax.scan
-    (the per-scan inner loop of the fused pipeline, SURVEY.md section 7.6)."""
+    (the per-scan inner loop of the fused pipeline, SURVEY.md section 7.6).
+
+    With ``log=True`` returns ``(state, FilterLog)`` with one entry per
+    (padded) IMU slot — the fused pipeline's IMU-rate history (the
+    reference's ``_logging=True`` recordings for the flagship ouster mode,
+    ``src/ptudes/ins/es_ekf.py:171-179``)."""
 
     def step(state, inp):
         imu, ok = inp
         nxt = process_imu(state, imu, cfg=cfg)
-        return masked_update(state, nxt, ok), None
+        state = masked_update(state, nxt, ok)
+        if not log:
+            return state, None
+        fl = FilterLog(
+            ts=imu.ts, pos=state.pos, vel=state.vel, att_q=state.quat,
+            bias_gyr=state.bias_gyr, bias_acc=state.bias_acc,
+            grav=state.grav, cov_diag=jnp.diag(state.cov),
+            updated=jnp.asarray(False),
+        )
+        return state, fl
 
     # fully unrolled: K is small (<=16) and each step is tiny 18x18 math —
     # unrolling lets XLA fuse across steps instead of paying per-iteration
     # loop overhead on sub-microsecond bodies
-    out, _ = jax.lax.scan(step, s, (imus, valid), unroll=True)
-    return out
+    out, flog = jax.lax.scan(step, s, (imus, valid), unroll=True)
+    return (out, flog) if log else out

@@ -63,6 +63,11 @@ class LioOut(NamedTuple):
     ekf_grav: jax.Array    # [3]
     ekf_cov_diag: jax.Array  # [18]
     aux: KissAux
+    # IMU-rate EKF history ([K] per scan, aligned with batch.imu_valid)
+    # when the step is built with log=True; None otherwise. The scan's
+    # pose-update is folded into its last valid IMU entry (updated=True
+    # there), matching the reference's knot semantics.
+    flog: esekf.FilterLog | None = None
 
 
 def init_state(cfg: PipelineConfig,
@@ -75,7 +80,7 @@ def init_state(cfg: PipelineConfig,
 
 
 def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
-                   insert_overflow: bool = True):
+                   insert_overflow: bool = True, log: bool = False):
     """Build the jittable scan_step closure over the projection LUT.
 
     ``insert_overflow=False`` builds the STEADY-state body: the map insert
@@ -83,14 +88,26 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
     leaves the rest to retry next scan, skipping the overflow chunk loop
     whose carry boundary alone costs ~0.3 ms/scan. run_sequence runs the
     first (bootstrap) scan with the full-overflow body so the initial
-    frame lands in the map in one step."""
+    frame lands in the map in one step.
+
+    ``log=True`` additionally emits the IMU-rate EKF history in
+    ``LioOut.flog`` (one FilterLog entry per padded IMU slot; filter by
+    ``batch.imu_valid`` on host) — the observability surface the
+    reference's ``ESEKF(_logging=True)`` provides for the flagship mode
+    (``src/ptudes/cli/ekf_bench.py:640-650``)."""
 
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
         #    ~10 IMUs per scan, ekf_bench.py:491-518)
         ekf0_pose = esekf.pose_mat(state.ekf)
-        ekf1 = esekf.process_imu_batch(
-            state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
+        flog = None
+        if log:
+            ekf1, flog = esekf.process_imu_batch(
+                state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf,
+                log=True)
+        else:
+            ekf1 = esekf.process_imu_batch(
+                state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
 
         # 2. device-side projection
         pts, mask, ts01 = scan_to_points(
@@ -133,6 +150,30 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
         ekf_out = esekf.masked_update(ekf1, ekf2, has_imu)
         out_state = LioState(kiss=kiss1, ekf=ekf_out)
 
+        if log:
+            # fold the pose update into the scan's LAST valid IMU entry
+            # (the reference's update replaces the nav knot at the same
+            # timestamp; knot markers come from `updated`)
+            k = batch.imu_valid.shape[0]
+            last = jnp.sum(batch.imu_valid.astype(jnp.int32)) - 1
+            knot = (jnp.arange(k) == last) & has_imu
+
+            def put(seq, post_val):
+                m = knot.reshape((k,) + (1,) * (seq.ndim - 1))
+                return jnp.where(m, post_val[None], seq)
+
+            flog = esekf.FilterLog(
+                ts=flog.ts,
+                pos=put(flog.pos, ekf_out.pos),
+                vel=put(flog.vel, ekf_out.vel),
+                att_q=put(flog.att_q, ekf_out.quat),
+                bias_gyr=put(flog.bias_gyr, ekf_out.bias_gyr),
+                bias_acc=put(flog.bias_acc, ekf_out.bias_acc),
+                grav=put(flog.grav, ekf_out.grav),
+                cov_diag=put(flog.cov_diag, jnp.diag(ekf_out.cov)),
+                updated=knot,
+            )
+
         out = LioOut(
             kiss_pose=pose,
             ekf_pose=esekf.pose_mat(out_state.ekf),
@@ -143,15 +184,17 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             ekf_grav=out_state.ekf.grav,
             ekf_cov_diag=jnp.diag(out_state.ekf.cov),
             aux=aux,
+            flog=flog,
         )
         return out_state, out
 
     return scan_step
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "log"))
 def run_sequence(
-    state: LioState, batches: ScanBatch, lut: XyzLut, *, cfg: PipelineConfig
+    state: LioState, batches: ScanBatch, lut: XyzLut, *,
+    cfg: PipelineConfig, log: bool = False,
 ) -> tuple[LioState, LioOut]:
     """lax.scan the fused step over stacked batches (device-resident).
 
@@ -159,13 +202,16 @@ def run_sequence(
     initial frame is new and must land in the map at once); the steady
     tail scans with the overflow-free body — mid-sequence bursts beyond
     ``cap.max_new_per_scan`` new points simply retry on following scans.
+
+    ``log=True`` emits the IMU-rate EKF history (``LioOut.flog``, shape
+    [N, K] entries; filter with ``batches.imu_valid`` on host).
     """
     n = batches.range_m.shape[0]
     k = n if cfg.bootstrap_scans < 0 else min(cfg.bootstrap_scans, n)
-    boot = make_scan_step(lut, cfg, insert_overflow=True)
+    boot = make_scan_step(lut, cfg, insert_overflow=True, log=log)
     if k >= n:
         return jax.lax.scan(boot, state, batches)
-    steady = make_scan_step(lut, cfg, insert_overflow=False)
+    steady = make_scan_step(lut, cfg, insert_overflow=False, log=log)
     if k == 0:
         return jax.lax.scan(steady, state, batches)
     head = jax.tree.map(lambda x: x[:k], batches)
@@ -175,6 +221,22 @@ def run_sequence(
     out = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b], axis=0), out_h, out_t)
     return state, out
+
+
+def flatten_filter_log(flog: esekf.FilterLog,
+                       imu_valid: jax.Array) -> esekf.FilterLog:
+    """Host-side: flatten a [N, K]-shaped FilterLog from
+    ``run_sequence(log=True)`` to the valid IMU-rate entries [T] —
+    the shape the plotting functions (``viz.graphs.ekf_graphs``/
+    ``ekf_error_graphs``) consume."""
+    v = np.asarray(imu_valid).reshape(-1)
+
+    def flat(x):
+        x = np.asarray(x)
+        return x.reshape((-1,) + x.shape[2:])[v]
+
+    return esekf.FilterLog(*[flat(getattr(flog, f))
+                             for f in esekf.FilterLog._fields])
 
 
 def time_origin(scan_ts, imu_ts) -> float:
@@ -200,6 +262,7 @@ def build_batches(
     imu_ts: np.ndarray,        # [M]
     guess_poses: np.ndarray | None = None,  # [N, 4, 4] for gt mode
     time_origin: float | None = None,
+    prev_scan_ts: float | None = None,
 ) -> ScanBatch:
     """Host-side batcher: window IMU samples per scan interval.
 
@@ -207,6 +270,12 @@ def build_batches(
     (first scan: everything up to its timestamp), padded/truncated to
     ``cfg.max_imu_per_scan`` — the reference streams them interleaved
     (``src/ptudes/data.py:49-77``); here they become a dense [N, K] block.
+
+    ``prev_scan_ts`` (absolute, same clock as ``scan_ts``/``imu_ts``)
+    seeds the first scan's window lower bound: a run resumed from a
+    checkpoint must pass the checkpoint's last scan timestamp here so IMU
+    samples already integrated into the carried EKF state are not re-fed
+    (re-feeding them would mechanize backwards with negative dt).
 
     Timestamps are rebased to the sequence start in float64 on host before
     the float32 cast: real captures carry epoch-scale clocks (~1.7e9 s)
@@ -224,7 +293,7 @@ def build_batches(
     avel = np.zeros((n, k, 3), np.float32)
     ts = np.zeros((n, k), np.float32)
     valid = np.zeros((n, k), bool)
-    prev = -np.inf
+    prev = -np.inf if prev_scan_ts is None else float(prev_scan_ts) - t0
     dropped = 0
     for i, t1 in enumerate(scan_ts):
         sel = np.where((imu_ts > prev) & (imu_ts <= t1))[0]

@@ -29,6 +29,9 @@ def ekf_graphs(
     imu_lacc: np.ndarray | None = None,
     imu_avel: np.ndarray | None = None,
     gt: tuple | None = None,  # (t, poses [K, 4, 4])
+    gt2: tuple | None = None,  # second overlay (reference ouster mode
+    #                            passes kiss-only poses as gt and the true
+    #                            GT as gt2, src/ptudes/cli/ekf_bench.py:641-648)
     xy_plot: bool = False,
     labels: list[str] | None = None,
     show: bool = True,
@@ -46,12 +49,12 @@ def ekf_graphs(
     names_gyr = ["gyr X", "gyr Y", "gyr Z"]
     for i in range(3):
         if imu_lacc is not None:
-            axs[0, i].plot(t[:len(imu_lacc)], np.asarray(imu_lacc)[:, i],
-                           lw=0.5)
+            m = min(len(t), len(imu_lacc))
+            axs[0, i].plot(t[:m], np.asarray(imu_lacc)[:m, i], lw=0.5)
         axs[0, i].set_title(names_acc[i], fontsize=8)
         if imu_avel is not None:
-            axs[1, i].plot(t[:len(imu_avel)], np.asarray(imu_avel)[:, i],
-                           lw=0.5)
+            m = min(len(t), len(imu_avel))
+            axs[1, i].plot(t[:m], np.asarray(imu_avel)[:m, i], lw=0.5)
         axs[1, i].set_title(names_gyr[i], fontsize=8)
         axs[2, i].plot(t, np.asarray(log.bias_acc)[:, i])
         axs[2, i].set_title(f"bias acc {'XYZ'[i]}", fontsize=8)
@@ -61,23 +64,31 @@ def ekf_graphs(
         axs[4, i].set_title(f"vel {'XYZ'[i]}", fontsize=8)
 
     # trajectory panels
+    overlays = [(g, i) for i, g in enumerate((gt, gt2), start=1)
+                if g is not None]
     if xy_plot:
         axs[5, 0].plot(pos[:, 0], pos[:, 1], label=labels[0])
-        if gt is not None:
-            gt_pos = np.asarray(gt[1])[:, :3, 3]
+        for g, li in overlays:
+            gt_pos = np.asarray(g[1])[:, :3, 3]
             axs[5, 0].plot(gt_pos[:, 0], gt_pos[:, 1], "--",
-                           label=labels[-1] if len(labels) > 1 else "GT")
+                           label=labels[li] if len(labels) > li
+                           else f"overlay {li}")
         axs[5, 0].set_title("XY", fontsize=8)
         axs[5, 0].legend(fontsize=6)
         axs[5, 1].plot(t, pos[:, 2])
+        for g, li in overlays:
+            gt_t = np.asarray(g[0]) - np.asarray(g[0])[0]
+            axs[5, 1].plot(gt_t, np.asarray(g[1])[:, 2, 3], "--")
         axs[5, 1].set_title("Z", fontsize=8)
     else:
         for i in range(3):
             axs[5, i].plot(t, pos[:, i], label=labels[0])
-            if gt is not None:
-                gt_t = np.asarray(gt[0]) - np.asarray(gt[0])[0]
-                gt_pos = np.asarray(gt[1])[:, :3, 3]
-                axs[5, i].plot(gt_t, gt_pos[:, i], "--", label="GT")
+            for g, li in overlays:
+                gt_t = np.asarray(g[0]) - np.asarray(g[0])[0]
+                gt_pos = np.asarray(g[1])[:, :3, 3]
+                axs[5, i].plot(gt_t, gt_pos[:, i], "--",
+                               label=labels[li] if len(labels) > li
+                               else f"overlay {li}")
             axs[5, i].set_title(f"pos {'XYZ'[i]}", fontsize=8)
         axs[5, 0].legend(fontsize=6)
     for ax in axs.ravel():

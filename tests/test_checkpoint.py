@@ -58,6 +58,28 @@ def test_roundtrip_and_split_resume(sim_run, tmp_path):  # noqa: F811
     assert d.max() < 0.05, f"resumed run diverged {d.max():.4f} m"
 
 
+def test_resume_prev_scan_ts_windows_imu(sim_run):  # noqa: F811
+    """The CLI resume path passes the checkpoint's end_scan_ts as
+    build_batches(prev_scan_ts=...) instead of pre-filtering the IMU
+    arrays; both must produce identical batches — otherwise resume re-feeds
+    already-integrated samples (negative-dt backwards mechanization)."""
+    sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
+    cfg = make_cfg()
+    k = len(ts) // 2
+    origin = lio.time_origin(ts, imu_ts)
+
+    sel = imu_ts > ts[k - 1]
+    manual = lio.build_batches(cfg, scans[k:], ts[k:],
+                               np.asarray(imu.lacc)[sel],
+                               np.asarray(imu.avel)[sel], imu_ts[sel],
+                               time_origin=origin)
+    cli = lio.build_batches(cfg, scans[k:], ts[k:], np.asarray(imu.lacc),
+                            np.asarray(imu.avel), imu_ts,
+                            time_origin=origin, prev_scan_ts=ts[k - 1])
+    for a, b in zip(jax.tree.leaves(manual), jax.tree.leaves(cli)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mismatched_template_rejected(sim_run, tmp_path):  # noqa: F811
     cfg = make_cfg()
     path = str(tmp_path / "state.npz")

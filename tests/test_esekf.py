@@ -231,3 +231,24 @@ class TestBatched:
         )(s0, imus, valid)
         assert out.pos.shape == (2, 3)
         assert not np.allclose(out.pos[0], out.pos[1])
+
+
+def test_stale_imu_sample_is_noop():
+    """Samples at or before the carried timestamp must not mechanize the
+    state backwards (negative dt) — the resume-seam failure mode."""
+    cfg = EkfConfig()
+    s = esekf.init_state(cfg)
+    for t in (0.0, 0.01, 0.02):
+        s = esekf.process_imu(
+            s, Imu(lacc=jnp.asarray([0.1, 0.0, GRAV]),
+                   avel=jnp.asarray([0.0, 0.0, 0.1]),
+                   ts=jnp.asarray(t, jnp.float32)), cfg=cfg)
+    stale = esekf.process_imu(
+        s, Imu(lacc=jnp.asarray([5.0, 5.0, 5.0]),
+               avel=jnp.asarray([1.0, 1.0, 1.0]),
+               ts=jnp.asarray(0.005, jnp.float32)), cfg=cfg)
+    np.testing.assert_allclose(np.asarray(stale.pos), np.asarray(s.pos))
+    np.testing.assert_allclose(np.asarray(stale.vel), np.asarray(s.vel))
+    np.testing.assert_allclose(np.asarray(stale.quat), np.asarray(s.quat))
+    np.testing.assert_allclose(np.asarray(stale.cov), np.asarray(s.cov))
+    assert float(stale.imu_ts) == float(s.imu_ts)  # ts stays monotonic

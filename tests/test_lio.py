@@ -179,3 +179,55 @@ def test_bootstrap_split_matches_full_overflow(sim_run):
     d = np.linalg.norm(kf[:, :3, 3] - kb[:, :3, 3], axis=1)
     assert np.isfinite(kb).all()
     assert d.max() < 0.1, f"bootstrap-split diverged {d.max():.4f} m"
+
+
+def test_logged_run_emits_imu_rate_history(sim_run):
+    """run_sequence(log=True) emits the IMU-rate EKF history the reference
+    gets from ESEKF(_logging=True) (src/ptudes/ins/es_ekf.py:171-179) and
+    the ouster-mode figure set renders headless from it."""
+    import matplotlib
+    matplotlib.use("Agg")
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    batches = lio.build_batches(
+        cfg, scans, ts, np.asarray(imu.lacc), np.asarray(imu.avel), imu_ts)
+    state = lio.init_state(cfg)
+    fin, out = lio.run_sequence(state, batches, sensor.lut, cfg=cfg,
+                                log=True)
+
+    n, k = batches.imu_valid.shape
+    assert out.flog.pos.shape == (n, k, 3)
+    assert out.flog.cov_diag.shape == (n, k, 18)
+
+    # knot marker: exactly one per scan-with-IMUs, at the last valid slot
+    upd = np.asarray(out.flog.updated)
+    iv = np.asarray(batches.imu_valid)
+    for i in range(n):
+        if iv[i].any():
+            last = np.where(iv[i])[0][-1]
+            assert upd[i].sum() == 1 and upd[i, last]
+            # knot entry carries the post-update state
+            np.testing.assert_allclose(
+                np.asarray(out.flog.pos)[i, last],
+                np.asarray(out.ekf_pose)[i, :3, 3], atol=1e-6)
+        else:
+            assert not upd[i].any()
+
+    flog = lio.flatten_filter_log(out.flog, batches.imu_valid)
+    assert len(flog.ts) == int(iv.sum())
+    assert np.all(np.diff(np.asarray(flog.ts)) > 0)  # strict IMU-rate time
+    assert np.isfinite(np.asarray(flog.cov_diag)).all()
+
+    # headless figure set (ekf_graphs consumes the flattened log directly)
+    from ptudes_tpu.viz.graphs import ekf_graphs
+    fig = ekf_graphs(flog,
+                     imu_lacc=np.asarray(batches.imu.lacc).reshape(-1, 3)[
+                         np.asarray(batches.imu_valid).reshape(-1)],
+                     gt=(ts, np.asarray(out.kiss_pose)), xy_plot=True,
+                     labels=["EKF", "kiss"], show=False)
+    assert fig is not None
+
+    # logging must not change the trajectory
+    fin2, out2 = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out.kiss_pose),
+                               np.asarray(out2.kiss_pose), atol=0)

@@ -35,6 +35,44 @@ def exp_twist(dx):  # [rot, trans]
     return T
 
 
+def log_pose(T):
+    """se(3) log: [rotvec, V^-1 t]."""
+    w = R.from_matrix(T[:3, :3]).as_rotvec()
+    theta = np.linalg.norm(w)
+    K = hat(w)
+    if theta < 1e-9:
+        Vinv = np.eye(3) - 0.5 * K
+    else:
+        Vinv = (np.eye(3) - 0.5 * K
+                + (1.0 / theta**2)
+                * (1.0 - theta * np.sin(theta) / (2.0 * (1.0 - np.cos(theta))))
+                * (K @ K))
+    return np.concatenate([w, Vinv @ T[:3, 3]])
+
+
+def deskew_by_twist(pts, scales, twist):
+    """Apply exp(scale_i * twist) per point (vectorized Rodrigues) — the
+    same const-velocity mid-scan-anchor model as kiss-icp's compensator
+    and the repo's ops/deskew.py."""
+    w, v = twist[:3], twist[3:]
+    theta2 = float(w @ w)
+    theta = np.sqrt(theta2)
+    if theta < 1e-8:
+        return pts + scales[:, None] * v
+    st = scales * theta
+    sin_st, cos_st = np.sin(st), np.cos(st)
+    a = sin_st / theta
+    b = (1.0 - cos_st) / theta2
+    wxp = np.cross(np.broadcast_to(w, pts.shape), pts)
+    wwxp = np.cross(np.broadcast_to(w, pts.shape), wxp)
+    rotated = pts + a[:, None] * wxp + b[:, None] * wwxp
+    cc = (st - sin_st) / (theta2 * theta)
+    wxv = np.cross(w, v)
+    wwxv = np.cross(w, wxv)
+    t = scales[:, None] * v + b[:, None] * wxv + cc[:, None] * wwxv
+    return rotated + t
+
+
 class OracleKiss:
     def __init__(self, voxel_size=0.3, max_range=30.0, min_range=1.0,
                  ppv=20, initial_threshold=2.0, min_motion=0.1,
@@ -74,7 +112,11 @@ class OracleKiss:
         for k in drop:
             del self.map[k]
 
-    def register(self, pts, guess=None):
+    def register(self, pts, guess=None, ts01=None):
+        if ts01 is not None and len(self.poses) >= 2:
+            delta = np.linalg.inv(self.poses[-2]) @ self.poses[-1]
+            pts = deskew_by_twist(pts, np.asarray(ts01) - 0.5,
+                                  log_pose(delta))
         d = np.linalg.norm(pts, axis=1)
         pts = pts[(d > self.min_range) & (d < self.max_range)]
         frame_ds = voxel_down(pts, self.vs * 0.5)
@@ -102,9 +144,15 @@ class OracleKiss:
                 r = src_w[ok] - mp[j[ok]]
                 p = src_w[ok]
                 w = kernel**2 / (kernel + np.sum(r * r, axis=1))**2
-                J = np.concatenate(
-                    [-np.stack([hat(pi) for pi in p]),
-                     np.tile(np.eye(3), (len(p), 1, 1))], axis=2)
+                # J = [-hat(p) | I], built vectorized (no per-point loop)
+                J = np.zeros((len(p), 3, 6))
+                J[:, 0, 1] = p[:, 2]
+                J[:, 0, 2] = -p[:, 1]
+                J[:, 1, 0] = -p[:, 2]
+                J[:, 1, 2] = p[:, 0]
+                J[:, 2, 0] = p[:, 1]
+                J[:, 2, 1] = -p[:, 0]
+                J[:, 0, 3] = J[:, 1, 4] = J[:, 2, 5] = 1.0
                 Jw = J * w[:, None, None]
                 JTJ = np.einsum("nij,nik->jk", Jw, J) + 1e-12 * np.eye(6)
                 JTr = np.einsum("nij,ni->j", Jw, r)
