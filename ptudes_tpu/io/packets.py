@@ -9,22 +9,27 @@ is both simpler and faster to feed to the device. A C++ fast path
 below is already vectorized.
 
 Supported lidar profiles:
-  * LEGACY                    (FW < 2.2; Newer College 2020/2021 bags)
-  * RNG19_RFL8_SIG16_NIR16    (single-return eUDP; OS-0-128 v3 sample pcap)
-  * RNG15_RFL8_NIR8           (low-bandwidth eUDP)
+  * LEGACY                         (FW < 2.2; Newer College 2020/2021 bags)
+  * RNG19_RFL8_SIG16_NIR16         (single-return eUDP; OS-0-128 v3 pcap)
+  * RNG15_RFL8_NIR8                (low-bandwidth eUDP)
+  * RNG19_RFL8_SIG16_NIR16_DUAL    (dual-return eUDP, 16 B/px)
+  * FUSA_RNG15_RFL8_NIR8_DUAL      (FUSA dual-return, 8 B/px)
 IMU packets are the fixed 48-byte layout (all FWs).
 
 Byte layouts follow the public Ouster firmware user manual; see the
-structured dtypes below for the exact offsets.
+structured dtypes below for the exact offsets. Dual-return profiles
+decode both returns; the odometry pipeline consumes the FIRST (strongest)
+return, matching what the reference inherits from ouster-sdk's default
+RANGE field (``src/ptudes/data.py:44-62``).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
-from .metadata import (PROFILE_LEGACY, PROFILE_RNG15, PROFILE_RNG19,
-                       SensorInfo)
+from .metadata import (PROFILE_DUAL, PROFILE_FUSA, PROFILE_LEGACY,
+                       PROFILE_RNG15, PROFILE_RNG19, SensorInfo)
 
 IMU_PACKET_SIZE = 48
 
@@ -69,13 +74,21 @@ def rng15_packet_size(h: int, columns_per_packet: int = 16) -> int:
     return eudp_packet_size(h, columns_per_packet, pixel_bytes=4)
 
 
+_PROFILE_PIXEL_BYTES = {
+    PROFILE_RNG19: 12,
+    PROFILE_RNG15: 4,
+    PROFILE_DUAL: 16,
+    PROFILE_FUSA: 8,
+}
+
+
 def lidar_packet_size(info: SensorInfo) -> int:
     if info.udp_profile_lidar == PROFILE_LEGACY:
         return legacy_packet_size(info.h, info.columns_per_packet)
-    if info.udp_profile_lidar == PROFILE_RNG19:
-        return eudp_packet_size(info.h, info.columns_per_packet)
-    if info.udp_profile_lidar == PROFILE_RNG15:
-        return rng15_packet_size(info.h, info.columns_per_packet)
+    if info.udp_profile_lidar in _PROFILE_PIXEL_BYTES:
+        return eudp_packet_size(
+            info.h, info.columns_per_packet,
+            pixel_bytes=_PROFILE_PIXEL_BYTES[info.udp_profile_lidar])
     raise ValueError(f"unsupported profile {info.udp_profile_lidar}")
 
 
@@ -91,6 +104,10 @@ class ParsedColumns:
     reflectivity: np.ndarray  # [C, H] u16/u8
     signal: np.ndarray       # [C, H] u16 (zeros if profile lacks it)
     nir: np.ndarray          # [C, H] u16
+    # second return (dual-return profiles only; None otherwise)
+    range2_mm: np.ndarray | None = None      # [C, H] u32
+    reflectivity2: np.ndarray | None = None  # [C, H] u16
+    signal2: np.ndarray | None = None        # [C, H] u16
 
 
 def parse_lidar_packets(info: SensorInfo, payloads: np.ndarray) -> ParsedColumns:
@@ -131,8 +148,8 @@ def parse_lidar_packets(info: SensorInfo, payloads: np.ndarray) -> ParsedColumns
         return ParsedColumns(timestamp, measurement_id, frame_id, status,
                              rng.astype(np.uint32), refl, signal, nir)
 
-    if prof in (PROFILE_RNG19, PROFILE_RNG15):
-        pixel_bytes = 12 if prof == PROFILE_RNG19 else 4
+    if prof in _PROFILE_PIXEL_BYTES:
+        pixel_bytes = _PROFILE_PIXEL_BYTES[prof]
         col_bytes = 12 + h * pixel_bytes
         body = payloads[:, 32:32 + cpp * col_bytes]
         cols = body.reshape(n * cpp, col_bytes)
@@ -147,12 +164,41 @@ def parse_lidar_packets(info: SensorInfo, payloads: np.ndarray) -> ParsedColumns
             refl = px[:, :, 4:5][:, :, 0].astype(np.uint16)
             signal = px[:, :, 6:8].copy().view("<u2")[:, :, 0]
             nir = px[:, :, 8:10].copy().view("<u2")[:, :, 0]
-        else:  # RNG15: u16 range (x8 mm) + u8 refl + u8 nir
+        elif prof == PROFILE_RNG15:  # u16 range (x8 mm) + u8 refl + u8 nir
             raw = px[:, :, 0:2].copy().view("<u2")[:, :, 0]
             rng = raw.astype(np.uint32) * 8  # pre-scale to mm
             refl = px[:, :, 2:3][:, :, 0].astype(np.uint16)
             signal = np.zeros_like(refl, dtype=np.uint16)
             nir = px[:, :, 3:4][:, :, 0].astype(np.uint16)
+        elif prof == PROFILE_DUAL:
+            # 16 B/px: [u32 range1(19b) | refl1 @3] [u32 range2(19b) |
+            # refl2 @7] [u16 signal1 @8] [u16 signal2 @10] [u16 nir @12]
+            rng = px[:, :, 0:4].copy().view("<u4")[:, :, 0] & 0x0007FFFF
+            refl = px[:, :, 3:4][:, :, 0].astype(np.uint16)
+            rng2 = px[:, :, 4:8].copy().view("<u4")[:, :, 0] & 0x0007FFFF
+            refl2 = px[:, :, 7:8][:, :, 0].astype(np.uint16)
+            signal = px[:, :, 8:10].copy().view("<u2")[:, :, 0]
+            signal2 = px[:, :, 10:12].copy().view("<u2")[:, :, 0]
+            nir = px[:, :, 12:14].copy().view("<u2")[:, :, 0]
+            return ParsedColumns(
+                timestamp, measurement_id, frame_id, status,
+                rng.astype(np.uint32), refl, signal, nir,
+                range2_mm=rng2.astype(np.uint32), reflectivity2=refl2,
+                signal2=signal2)
+        else:  # PROFILE_FUSA: 8 B/px, two returns, 15-bit x8mm ranges
+            raw1 = px[:, :, 0:2].copy().view("<u2")[:, :, 0] & 0x7FFF
+            rng = raw1.astype(np.uint32) * 8
+            refl = px[:, :, 2:3][:, :, 0].astype(np.uint16)
+            nir = px[:, :, 3:4][:, :, 0].astype(np.uint16)
+            raw2 = px[:, :, 4:6].copy().view("<u2")[:, :, 0] & 0x7FFF
+            rng2 = raw2.astype(np.uint32) * 8
+            refl2 = px[:, :, 6:7][:, :, 0].astype(np.uint16)
+            signal = np.zeros_like(refl, dtype=np.uint16)
+            return ParsedColumns(
+                timestamp, measurement_id, frame_id, status,
+                rng, refl, signal, nir,
+                range2_mm=rng2, reflectivity2=refl2,
+                signal2=np.zeros_like(refl2))
         return ParsedColumns(timestamp, measurement_id, frame_id, status,
                              rng.astype(np.uint32), refl, signal, nir)
 
@@ -189,6 +235,81 @@ def make_legacy_packet(
     v = np.ones(cpp, bool) if valid is None else np.asarray(valid, bool)
     out[:, -4:] = np.where(v, np.uint32(0xFFFFFFFF), np.uint32(0)).astype(
         "<u4").view(np.uint8).reshape(cpp, 4)
+    return out.tobytes()
+
+
+def make_eudp_packet(
+    info: SensorInfo,
+    timestamps: np.ndarray,       # [cpp] u64
+    measurement_ids: np.ndarray,  # [cpp]
+    frame_id: int,
+    range_mm: np.ndarray,         # [cpp, H] first return
+    reflectivity: np.ndarray | None = None,
+    signal: np.ndarray | None = None,
+    nir: np.ndarray | None = None,
+    range2_mm: np.ndarray | None = None,   # dual profiles only
+    reflectivity2: np.ndarray | None = None,
+    signal2: np.ndarray | None = None,
+    valid: np.ndarray | None = None,       # [cpp] bool
+) -> bytes:
+    """Synthesize an eUDP lidar packet for RNG19 / RNG15 / DUAL / FUSA
+    (test fixtures / sim pcap export) — inverse of the decoders above."""
+    prof = info.udp_profile_lidar
+    h, cpp = info.h, info.columns_per_packet
+    pixel_bytes = _PROFILE_PIXEL_BYTES[prof]
+    col_bytes = 12 + h * pixel_bytes
+    out = np.zeros((eudp_packet_size(h, cpp, pixel_bytes),), np.uint8)
+    out[2:4] = np.asarray([frame_id], "<u2").view(np.uint8)
+
+    def u8(a, dtype):
+        return np.asarray(a, dtype).view(np.uint8)
+
+    z16 = np.zeros((cpp, h), np.uint16)
+    refl = z16 if reflectivity is None else np.asarray(reflectivity)
+    sig = z16 if signal is None else np.asarray(signal)
+    nr = z16 if nir is None else np.asarray(nir)
+    rng2 = np.zeros((cpp, h), np.uint32) if range2_mm is None \
+        else np.asarray(range2_mm)
+    refl2 = z16 if reflectivity2 is None else np.asarray(reflectivity2)
+    sig2 = z16 if signal2 is None else np.asarray(signal2)
+    v = np.ones(cpp, bool) if valid is None else np.asarray(valid, bool)
+
+    cols = out[32:32 + cpp * col_bytes].reshape(cpp, col_bytes)
+    cols[:, 0:8] = u8(timestamps, "<u8").reshape(cpp, 8)
+    cols[:, 8:10] = u8(measurement_ids, "<u2").reshape(cpp, 2)
+    cols[:, 10:12] = u8(v.astype("<u2"), "<u2").reshape(cpp, 2)
+    px = cols[:, 12:].reshape(cpp, h, pixel_bytes)
+    if prof == PROFILE_RNG19:
+        px[:, :, 0:4] = u8(np.asarray(range_mm, "<u4") & 0x7FFFF,
+                           "<u4").reshape(cpp, h, 4)
+        px[:, :, 4] = refl.astype(np.uint8)
+        px[:, :, 6:8] = u8(sig, "<u2").reshape(cpp, h, 2)
+        px[:, :, 8:10] = u8(nr, "<u2").reshape(cpp, h, 2)
+    elif prof == PROFILE_RNG15:
+        px[:, :, 0:2] = u8((np.asarray(range_mm) // 8).astype("<u2"),
+                           "<u2").reshape(cpp, h, 2)
+        px[:, :, 2] = refl.astype(np.uint8)
+        px[:, :, 3] = nr.astype(np.uint8)
+    elif prof == PROFILE_DUAL:
+        w1 = (np.asarray(range_mm, "<u4") & 0x7FFFF) \
+            | (refl.astype("<u4") << 24)
+        w2 = (np.asarray(rng2, "<u4") & 0x7FFFF) \
+            | (refl2.astype("<u4") << 24)
+        px[:, :, 0:4] = u8(w1, "<u4").reshape(cpp, h, 4)
+        px[:, :, 4:8] = u8(w2, "<u4").reshape(cpp, h, 4)
+        px[:, :, 8:10] = u8(sig, "<u2").reshape(cpp, h, 2)
+        px[:, :, 10:12] = u8(sig2, "<u2").reshape(cpp, h, 2)
+        px[:, :, 12:14] = u8(nr, "<u2").reshape(cpp, h, 2)
+    elif prof == PROFILE_FUSA:
+        px[:, :, 0:2] = u8((np.asarray(range_mm) // 8).astype("<u2")
+                           & 0x7FFF, "<u2").reshape(cpp, h, 2)
+        px[:, :, 2] = refl.astype(np.uint8)
+        px[:, :, 3] = nr.astype(np.uint8)
+        px[:, :, 4:6] = u8((np.asarray(rng2) // 8).astype("<u2")
+                           & 0x7FFF, "<u2").reshape(cpp, h, 2)
+        px[:, :, 6] = refl2.astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported eUDP profile {prof}")
     return out.tobytes()
 
 

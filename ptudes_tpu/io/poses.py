@@ -74,23 +74,17 @@ def read_newer_college_gt(
     return [(t, p) for t, p in zip(ts, poses)]
 
 
-def _nearest_idx(sorted_t: np.ndarray, query_t: np.ndarray) -> np.ndarray:
-    """Index of the nearest element of ``sorted_t`` for each query."""
-    if len(sorted_t) == 1:
-        return np.zeros(len(query_t), np.int64)
-    j = np.clip(np.searchsorted(sorted_t, query_t), 1, len(sorted_t) - 1)
-    left_closer = (np.abs(sorted_t[j - 1] - query_t)
-                   <= np.abs(sorted_t[j] - query_t))
-    return j - left_closer.astype(np.int64)
-
-
 def filter_nc_gt_by_close_ts(nc_gt, gt_t):
-    """Nearest-timestamp matching of two non-decreasing streams — same
-    pairs as the reference's greedy iterator walk
-    (``src/ptudes/utils.py:255-302``), computed vectorized: a pair matches
-    iff the timestamps are MUTUAL nearest neighbors within ``min_dt`` (the
-    smaller of the two streams' minimum sample spacings), which is exactly
-    the fixed point the greedy two-pointer algorithm advances to."""
+    """Nearest-timestamp matching of two non-decreasing streams —
+    behavior-parity implementation of the reference's greedy iterator
+    walk (``src/ptudes/utils.py:255-302``), including its edge quirks:
+    a fetched-but-farther next sample is *discarded* (not promoted to
+    current), and the walk ends on stream exhaustion even if a final
+    in-tolerance pair is pending. (A round-1 mutual-nearest-neighbor
+    formulation differed from the walk at stream edges in ~20% of fuzz
+    trials — see tests/test_utils.py differential test — so the exact
+    walk is reproduced instead.) ``min_dt`` is the smaller of the two
+    streams' minimum sample spacings."""
     if not len(nc_gt):
         return nc_gt, []
     if not len(gt_t):
@@ -101,13 +95,47 @@ def filter_nc_gt_by_close_ts(nc_gt, gt_t):
     min_gt_t = np.min(np.diff(gt_arr)) if len(gt_arr) > 1 else np.inf
     min_dt = min(min_nc_t, min_gt_t)
 
-    j_of_i = _nearest_idx(gt_arr, nc_t)      # nearest gt for each nc
-    i_of_j = _nearest_idx(nc_t, gt_arr)      # nearest nc for each gt
-    ii = np.arange(len(nc_t))
-    mutual = (i_of_j[j_of_i] == ii) & (
-        np.abs(gt_arr[j_of_i] - nc_t) <= min_dt)
-    idx = ii[mutual]
-    return [nc_gt[i] for i in idx], [gt_t[j] for j in j_of_i[idx]]
+    out_idx_nc, out_t = [], []
+    i, j = 0, 0                    # current elements
+    fi, fj = 1, 1                  # iterator fetch positions
+    n1, n2 = len(nc_t), len(gt_arr)
+    try:
+        while True:
+            while abs(nc_t[i] - gt_arr[j]) > min_dt:
+                while nc_t[i] < gt_arr[j] - min_dt:
+                    if fi >= n1:
+                        raise StopIteration
+                    i, fi = fi, fi + 1
+                while gt_arr[j] < nc_t[i] - min_dt:
+                    if fj >= n2:
+                        raise StopIteration
+                    j, fj = fj, fj + 1
+            if nc_t[i] < gt_arr[j]:
+                if fi >= n1:
+                    raise StopIteration
+                nxt, fi = fi, fi + 1
+                if abs(nc_t[i] - gt_arr[j]) < abs(nc_t[nxt] - gt_arr[j]):
+                    out_idx_nc.append(i)
+                    out_t.append(gt_t[j])
+                    i = nxt
+                    if fj >= n2:
+                        raise StopIteration
+                    j, fj = fj, fj + 1
+                # else: fetched sample discarded, current pair retried
+            else:
+                if fj >= n2:
+                    raise StopIteration
+                nxt, fj = fj, fj + 1
+                if abs(nc_t[i] - gt_arr[j]) < abs(nc_t[i] - gt_arr[nxt]):
+                    out_idx_nc.append(i)
+                    out_t.append(gt_t[j])
+                    j = nxt
+                    if fi >= n1:
+                        raise StopIteration
+                    i, fi = fi, fi + 1
+    except StopIteration:
+        pass
+    return [nc_gt[k] for k in out_idx_nc], out_t
 
 
 def filter_nc_gt_by_cmp(nc_gt, nc_gt_cmp):

@@ -80,7 +80,8 @@ def init_state(cfg: PipelineConfig,
 
 
 def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
-                   insert_overflow: bool = True, log: bool = False):
+                   insert_overflow: bool = True, log: bool = False,
+                   axis_name: str | None = None):
     """Build the jittable scan_step closure over the projection LUT.
 
     ``insert_overflow=False`` builds the STEADY-state body: the map insert
@@ -94,7 +95,12 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
     ``LioOut.flog`` (one FilterLog entry per padded IMU slot; filter by
     ``batch.imu_valid`` on host) — the observability surface the
     reference's ``ESEKF(_logging=True)`` provides for the flagship mode
-    (``src/ptudes/cli/ekf_bench.py:640-650``)."""
+    (``src/ptudes/cli/ekf_bench.py:640-650``).
+
+    ``axis_name``: build the step for use inside ``shard_map`` with ICP
+    points sharded over the named mesh axis (see
+    ``kiss.register_scan``) — the SAME step otherwise, so the sharded
+    pipeline honors every config knob the single-device one does."""
 
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
@@ -142,7 +148,7 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             initial_guess=guess, use_guess=use_guess,
             deskew_twist=deskew_twist, update_ok=has_imu,
             grid_hw=(h, w // cfg.col_decimation),
-            insert_overflow=insert_overflow)
+            insert_overflow=insert_overflow, axis_name=axis_name)
 
         # 4. EKF update with the ICP pose (ekf_bench.py:555); small-state
         #    select only (18x18 cov + vectors)
@@ -175,7 +181,11 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             )
 
         out = LioOut(
-            kiss_pose=pose,
+            # skipped scans (no IMUs) report the FROZEN odometry pose: the
+            # reference emits no pose at all for them (`continue`), so the
+            # dense output must not leak the discarded ICP result computed
+            # from a stale guess
+            kiss_pose=jnp.where(has_imu, pose, state.kiss.pose),
             ekf_pose=esekf.pose_mat(out_state.ekf),
             scan_valid=has_imu,
             ekf_vel=out_state.ekf.vel,

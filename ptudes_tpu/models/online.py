@@ -40,13 +40,22 @@ class LioOnline:
         lut: XyzLut,
         state: lio.LioState | None = None,
         time_origin: float | None = None,
+        prev_scan_ts: float | None = None,
     ):
+        """``prev_scan_ts`` (absolute clock, like ``time_origin``): when
+        resuming from a checkpoint, the checkpoint's last scan timestamp —
+        IMU samples at or before it are ignored instead of re-integrated
+        (same seam rule as ``lio.build_batches(prev_scan_ts=...)``)."""
         self.cfg = cfg
         self.lut = lut
         self.state = lio.init_state(cfg) if state is None else state
         self._origin = time_origin
         self._imu_buf: list[tuple] = []
         self._prev_scan_ts = -np.inf
+        if prev_scan_ts is not None:
+            if time_origin is None:
+                raise ValueError("prev_scan_ts requires time_origin")
+            self._prev_scan_ts = float(prev_scan_ts) - float(time_origin)
         self._n_dropped_imu = 0
         # overflow=True: a live stream must absorb bursts of new points
         # (bootstrap, doorways) in the scan they arrive

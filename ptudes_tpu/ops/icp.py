@@ -247,7 +247,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
         "neighborhood", "n_voxels", "plane_radius", "gn_backend",
-        "refresh_drift",
+        "refresh_drift", "axis_name",
     ),
 )
 def register_frame_cached(
@@ -271,6 +271,7 @@ def register_frame_cached(
     plane_radius: float | None = None,
     gn_backend: str = "auto",
     refresh_drift: float = 0.5,
+    axis_name: str | None = None,
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
 
@@ -283,6 +284,13 @@ def register_frame_cached(
     one TPU kernel (ops.pallas_gn — ~50 XLA ops -> 1 launch), "jnp" uses
     the plain XLA path, "auto" picks pallas on TPU when the source
     capacity is kernel-block aligned.
+
+    ``axis_name``: when set (inside shard_map), ``source``/``source_mask``
+    are this device's shard of the full source and the 6x6 GN system is
+    ``psum``-reduced over the named mesh axis each iteration — the ONE
+    hot-loop collective of the point-sharded pipeline (~200 bytes/iter
+    over ICI). The initial guess and map must be replicated; the returned
+    pose, counts and iteration numbers are then identical on all shards.
     """
     assert loss in ("point", "plane")
     if gn_backend == "auto":
@@ -344,6 +352,13 @@ def register_frame_cached(
             jtj, jtr, corr_n, total_w = gn_from_candidates(
                 t_cur, source, source_mask, cand, kernel, max_d2,
                 loss=loss, plane_min_quality=plane_min_quality)
+
+        if axis_name is not None:
+            # the one hot-loop collective: 6x6 system over ICI
+            jtj = jax.lax.psum(jtj, axis_name)
+            jtr = jax.lax.psum(jtr, axis_name)
+            corr_n = jax.lax.psum(corr_n, axis_name)
+            total_w = jax.lax.psum(total_w, axis_name)
 
         if prior_rot_weight > 0.0 or prior_trans_weight > 0.0:
             xi = se3.log_pose(t_cur @ guess_inv)

@@ -84,21 +84,31 @@ def window_prededup_mask(
     first-in-voxel set — running :func:`first_in_voxel_mask` after this
     yields the identical final point set (modulo compaction capacity).
 
-    Column shifts wrap (correct for 360-degree sweeps: the last column is
-    physically adjacent to the first); row wraps only matter for H smaller
-    than ``rows`` (not a real sensor). Mutual elimination is impossible:
-    the causal offset set contains no pair (d, -d) for real H, W.
+    Column shifts wrap — correct for 360-degree sweeps, where the last
+    column is physically adjacent to the first. (For partial-FOV windows a
+    wrap-boundary pixel may be deduped against a column-wrapped neighbor,
+    so the surviving representative of a voxel can differ from the exact
+    scan-order-first point there; one-point-per-voxel still holds since
+    offsets are causal and mutual elimination is impossible.) Row shifts
+    do NOT wrap: the comparisons against the bottom rows that jnp.roll
+    would introduce for the top ``rows-1`` rows are masked out, so a row-0
+    point is never deduped against a causally-later bottom-row point.
     """
     h, w = grid_hw
     ids = spatial_hash(voxel_coords(pts, voxel_size), 1 << 31).reshape(h, w)
     m = mask.reshape(h, w)
     keep = m
+    row = jnp.arange(h, dtype=jnp.int32)
     for dr in range(0, -rows, -1):
         for dc in range(-cols, cols + 1):
             if dr == 0 and dc >= 0:
                 continue
             sh_ids = jnp.roll(ids, (-dr, -dc), axis=(0, 1))
             sh_m = jnp.roll(m, (-dr, -dc), axis=(0, 1))
+            if dr != 0:
+                # rows rolled down by -dr: the first -dr rows wrapped
+                # around from the bottom (causally later) — exclude them
+                sh_m = sh_m & (row >= -dr)[:, None]
             keep = keep & ~((sh_ids == ids) & sh_m)
     return keep.reshape(h * w)
 
@@ -193,26 +203,38 @@ def first_in_voxel_sorted(
 
     Hash aliasing between distinct voxels drops the losing voxel's points
     like the table variant, but at 31-bit hash width (~1e-4 points/scan)
-    instead of table width. ``capacity`` must be >= the expected VALID
-    count (not just unique count): uniqueness is decided by run starts,
-    which is only correct for runs that survive the slice.
+    instead of table width.
+
+    When the input is wider than ``capacity``, run starts are computed at
+    FULL width and the keepers are compacted to the front with a second
+    stable sort before slicing — a dense scan whose valid count exceeds
+    ``capacity`` loses only unique voxels beyond capacity, never valid
+    points hidden behind sliced-away runs (the silent-drop failure of a
+    naive slice). When the input already fits, the single-sort fast path
+    is exact and the second sort is skipped.
     """
+    n = pts.shape[0]
     h = spatial_hash(voxel_coords(pts, voxel_size), 1 << 31)
     drop = (~mask).astype(jnp.int32)
     d, hh, x, y, z = jax.lax.sort(
         (drop, h, pts[:, 0], pts[:, 1], pts[:, 2]),
         num_keys=2, is_stable=True)
-    d = _take_pad(d, capacity)
-    hh = _take_pad(hh, capacity)
-    out = jnp.stack(
-        [_take_pad(x, capacity), _take_pad(y, capacity),
-         _take_pad(z, capacity)], axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), hh[1:] != hh[:-1]])
     n_valid = jnp.sum(mask.astype(jnp.int32))
-    in_range = jnp.arange(capacity, dtype=jnp.int32) < n_valid
-    keep = (d == 0) & first & in_range
-    return out, keep
+    if n <= capacity:
+        d = _take_pad(d, capacity)
+        hh = _take_pad(hh, capacity)
+        out = jnp.stack(
+            [_take_pad(x, capacity), _take_pad(y, capacity),
+             _take_pad(z, capacity)], axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), hh[1:] != hh[:-1]])
+        in_range = jnp.arange(capacity, dtype=jnp.int32) < n_valid
+        keep = (d == 0) & first & in_range
+        return out, keep
+    first = jnp.concatenate([jnp.ones((1,), bool), hh[1:] != hh[:-1]])
+    in_range = jnp.arange(n, dtype=jnp.int32) < n_valid
+    keep_full = (d == 0) & first & in_range
+    return compact(jnp.stack([x, y, z], axis=1), keep_full, capacity)
 
 
 def voxel_downsample(

@@ -443,3 +443,76 @@ class TestRosbag2:
             assert abs(t - 42.125) < 1e-9
             assert la == (1.0, 2.0, 3.0)
             assert av == (4.0, 5.0, 6.0)
+
+
+class TestEudpProfileMatrix:
+    """Round-trip decode matrix over all eUDP profiles incl. dual-return
+    (VERDICT r1 missing #3): synthesize -> parse -> field equality.
+    Odometry consumes the FIRST return of dual profiles."""
+
+    def _roundtrip(self, profile, has_signal, dual, scale8):
+        info = make_info(h=16, w=32, profile=profile)
+        cpp = info.columns_per_packet
+        ts = (np.arange(cpp) + 100).astype(np.uint64)
+        mids = np.arange(cpp).astype(np.uint16)
+        maxr = 2**19 - 1 if not scale8 else (2**15 - 1) * 8
+        r1 = (RNG.integers(0, maxr, (cpp, 16)) // (8 if scale8 else 1)
+              * (8 if scale8 else 1)).astype(np.uint32)
+        r2 = (RNG.integers(0, maxr, (cpp, 16)) // (8 if scale8 else 1)
+              * (8 if scale8 else 1)).astype(np.uint32)
+        refl = RNG.integers(0, 255, (cpp, 16)).astype(np.uint16)
+        refl2 = RNG.integers(0, 255, (cpp, 16)).astype(np.uint16)
+        sig = RNG.integers(0, 65535, (cpp, 16)).astype(np.uint16)
+        sig2 = RNG.integers(0, 65535, (cpp, 16)).astype(np.uint16)
+        nir_w = 65535 if profile in (meta_io.PROFILE_RNG19,
+                                     meta_io.PROFILE_DUAL) else 255
+        nir = RNG.integers(0, nir_w, (cpp, 16)).astype(np.uint16)
+        valid = np.ones(cpp, bool)
+        valid[3] = False
+        buf = pkt.make_eudp_packet(
+            info, ts, mids, 77, r1, reflectivity=refl, signal=sig, nir=nir,
+            range2_mm=r2, reflectivity2=refl2, signal2=sig2, valid=valid)
+        assert len(buf) == pkt.lidar_packet_size(info)
+        cols = pkt.parse_lidar_packets(
+            info, np.frombuffer(buf, np.uint8)[None])
+        np.testing.assert_array_equal(cols.timestamp, ts)
+        np.testing.assert_array_equal(cols.measurement_id, mids)
+        assert (cols.frame_id == 77).all()
+        np.testing.assert_array_equal(cols.status, valid)
+        np.testing.assert_array_equal(cols.range_mm, r1)
+        np.testing.assert_array_equal(cols.reflectivity, refl)
+        np.testing.assert_array_equal(cols.nir, nir)
+        if has_signal:
+            np.testing.assert_array_equal(cols.signal, sig)
+        if dual:
+            np.testing.assert_array_equal(cols.range2_mm, r2)
+            np.testing.assert_array_equal(cols.reflectivity2, refl2)
+            if has_signal:
+                np.testing.assert_array_equal(cols.signal2, sig2)
+        else:
+            assert cols.range2_mm is None
+        return cols
+
+    def test_rng19(self):
+        self._roundtrip(meta_io.PROFILE_RNG19, True, False, False)
+
+    def test_rng15(self):
+        self._roundtrip(meta_io.PROFILE_RNG15, False, False, True)
+
+    def test_dual(self):
+        self._roundtrip(meta_io.PROFILE_DUAL, True, True, False)
+
+    def test_fusa(self):
+        self._roundtrip(meta_io.PROFILE_FUSA, False, True, True)
+
+    def test_dual_first_return_feeds_assembly(self):
+        info = make_info(h=16, w=32, profile=meta_io.PROFILE_DUAL)
+        cols = self._roundtrip(meta_io.PROFILE_DUAL, True, True, False)
+        scans = sources.assemble_scans(info, cols)
+        assert len(scans) == 1
+        # assembled frame carries the FIRST return
+        valid_cols = np.asarray(scans.valid_cols[0])
+        mids = np.arange(info.columns_per_packet)[valid_cols[
+            :info.columns_per_packet]]
+        assert (scans.range_mm[0][:, mids]
+                == np.asarray(cols.range_mm)[mids].T).all()

@@ -76,36 +76,37 @@ def test_point_sharded_matches_single_device(sim_run):
     fin_ref, out_ref = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
 
     m = mesh_lib.make_mesh(n_bags=1, n_pt=8)
-    fin_sh, (kiss_poses, ekf_poses) = sharded.sharded_run_sequence(
+    fin_sh, out_sh = sharded.sharded_run_sequence(
         lio.init_state(cfg), batches, sensor.lut, cfg, m)
 
     kp_ref = np.asarray(out_ref.kiss_pose)
-    kp_sh = np.asarray(kiss_poses)
-    # trajectories agree to registration noise: the single-device path
-    # dedups via the grid-sort pipeline, the sharded path via shard-local
-    # tables, so the downsampled point sets (and hence the GN fixed
-    # points) differ slightly — both are valid registrations of the same
-    # scans, compared here against each other over an 8-scan horizon
+    kp_sh = np.asarray(out_sh.kiss_pose)
+    # the sharded step IS the single-device step (same projection, dedup,
+    # candidates, early exit); the only difference is the f32 summation
+    # ORDER of the psum-joined GN normal equations, so the trajectories
+    # must agree to accumulated round-off, not algorithm variance
     d = np.linalg.norm(kp_ref[:, :3, 3] - kp_sh[:, :3, 3], axis=1)
-    assert d.max() < 0.12, f"max divergence {d.max():.4f} m"
-    assert np.isfinite(np.asarray(ekf_poses)).all()
+    assert d.max() < 0.02, f"max divergence {d.max():.4f} m"
+    assert np.isfinite(np.asarray(out_sh.ekf_pose)).all()
+    # aux diagnostics come through the sharded path identically
+    assert np.all(np.asarray(out_sh.aux.iterations) >= 1)
 
 
 def test_point_sharded_mixed_mesh(sim_run):
     """2 bags x 4-way point sharding on the same 8 devices."""
     sensor, cfg, batches, poses = sim_run
     m = mesh_lib.make_mesh(n_bags=2, n_pt=4)
-    fin, (kiss_poses, ekf_poses) = sharded.sharded_run_sequence(
+    fin, out_sh = sharded.sharded_run_sequence(
         lio.init_state(cfg), batches, sensor.lut, cfg, m)
-    assert np.isfinite(np.asarray(kiss_poses)).all()
+    assert np.isfinite(np.asarray(out_sh.kiss_pose)).all()
 
 
 @pytest.mark.parametrize("n_bags,n_pt", [(2, 4), (4, 2), (8, 1)])
 def test_point_sharded_eviction_heavy(n_bags, n_pt):
     """Sharded-vs-single parity across mesh shapes on an eviction-heavy
     sequence: a tiny max_range forces remove_far to clear voxels as the
-    platform moves, so the replicated-map invariant (all-gathered insert
-    frames keep every 'pt' replica identical) is exercised while the map
+    platform moves, so the replicated-map invariant (identical replicated
+    insert frames keep every 'pt' replica in sync) is exercised while the map
     fills AND empties (VERDICT round 1, next-round task 10)."""
     n = 14
     ts, _ = sim.circle_trajectory(n + 1, radius=8.0, speed=2.0,
@@ -141,9 +142,9 @@ def test_point_sharded_eviction_heavy(n_bags, n_pt):
     assert mp[-1] < mp.max() or mp.max() < (1 << 14) * 8
 
     m = mesh_lib.make_mesh(n_bags=n_bags, n_pt=n_pt)
-    fin_sh, (kiss_poses, _) = sharded.sharded_run_sequence(
+    fin_sh, out_sh = sharded.sharded_run_sequence(
         lio.init_state(cfg), batches, sensor.lut, cfg, m)
     d = np.linalg.norm(
         np.asarray(out_ref.kiss_pose)[:, :3, 3]
-        - np.asarray(kiss_poses)[:, :3, 3], axis=1)
-    assert d.max() < 0.05, f"mesh {n_bags}x{n_pt} diverged {d.max():.4f} m"
+        - np.asarray(out_sh.kiss_pose)[:, :3, 3], axis=1)
+    assert d.max() < 0.02, f"mesh {n_bags}x{n_pt} diverged {d.max():.4f} m"

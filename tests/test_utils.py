@@ -132,3 +132,93 @@ class TestTrajectory:
         ts = np.array([0.0, 1.5, 3.0])
         poses, valid = trajectory.poses_for_scans(ts, knots, time_bounds=0.1)
         assert valid.tolist() == [False, True, False]
+
+
+# --- differential test: GT matching vs the reference's greedy walk ------
+
+def _greedy_close_ts(nc_gt, gt_t):
+    """Differential oracle: literal iterator-based rendition of the
+    reference's greedy walk (src/ptudes/utils.py:255-302), written
+    separately from the production port in io/poses.py."""
+    if not len(nc_gt):
+        return nc_gt, []
+    if not len(gt_t):
+        return [], []
+    nc_t = [g[0] for g in nc_gt]
+    min_nc = np.min(np.diff(nc_t)) if len(nc_t) > 1 else np.inf
+    min_gt = np.min(np.diff(gt_t)) if len(gt_t) > 1 else np.inf
+    min_dt = min(min_nc, min_gt)
+
+    res_nc, res_t = [], []
+    it_n = iter(nc_gt)
+    it_g = iter(gt_t)
+    n_t = next(it_n)
+    g_t = next(it_g)
+    while True:
+        try:
+            while abs(n_t[0] - g_t) > min_dt:
+                while n_t[0] < g_t - min_dt:
+                    n_t = next(it_n)
+                while g_t < n_t[0] - min_dt:
+                    g_t = next(it_g)
+            if n_t[0] < g_t:
+                n_t2 = next(it_n)
+                if abs(n_t[0] - g_t) < abs(n_t2[0] - g_t):
+                    res_nc.append(n_t)
+                    res_t.append(g_t)
+                    n_t = n_t2
+                    g_t = next(it_g)
+            elif g_t <= n_t[0]:
+                g_t2 = next(it_g)
+                if abs(n_t[0] - g_t) < abs(n_t[0] - g_t2):
+                    res_nc.append(n_t)
+                    res_t.append(g_t)
+                    n_t = next(it_n)
+                    g_t = g_t2
+        except StopIteration:
+            break
+    return res_nc, res_t
+
+
+def _rand_stream(rng, n, base_dt, jitter, start=0.0):
+    t = start + np.cumsum(base_dt + rng.uniform(-jitter, jitter, n))
+    return np.sort(t)
+
+
+def test_close_ts_matches_greedy_walk_fuzz():
+    from ptudes_tpu.io.poses import filter_nc_gt_by_close_ts
+    rng = np.random.default_rng(7)
+    mismatches = 0
+    total_pairs = 0
+    for trial in range(200):
+        n1 = int(rng.integers(2, 60))
+        n2 = int(rng.integers(2, 60))
+        dt1 = float(rng.uniform(0.05, 0.3))
+        dt2 = float(rng.uniform(0.05, 0.3))
+        t1 = _rand_stream(rng, n1, dt1, dt1 * 0.3)
+        t2 = _rand_stream(rng, n2, dt2, dt2 * 0.3,
+                          start=float(rng.uniform(-1, 1)))
+        if rng.random() < 0.3:  # inject a gap
+            t2 = np.concatenate([t2[: n2 // 2], t2[n2 // 2:] + 5.0])
+        if rng.random() < 0.2:  # exact ties
+            k = min(len(t1), len(t2)) // 2
+            t2[:k] = t1[:k]
+            t2 = np.sort(t2)
+        nc_gt = [(float(t), np.eye(4) * (i + 1))
+                 for i, t in enumerate(t1)]
+        ref_nc, ref_t = _greedy_close_ts(nc_gt, list(t2))
+        got_nc, got_t = filter_nc_gt_by_close_ts(nc_gt, list(t2))
+        ref_pairs = [(round(a[0], 9), round(b, 9))
+                     for a, b in zip(ref_nc, ref_t)]
+        got_pairs = [(round(a[0], 9), round(b, 9))
+                     for a, b in zip(got_nc, got_t)]
+        total_pairs += len(ref_pairs)
+        if ref_pairs != got_pairs:
+            mismatches += 1
+            extra = set(got_pairs) - set(ref_pairs)
+            missing = set(ref_pairs) - set(got_pairs)
+            print(f"trial {trial}: ref={len(ref_pairs)} "
+                  f"got={len(got_pairs)} extra={len(extra)} "
+                  f"missing={len(missing)}")
+    assert total_pairs > 500
+    assert mismatches == 0, f"{mismatches}/200 trials diverge from greedy"
