@@ -27,7 +27,7 @@ def ptudes_cli() -> None:
 
 # ---------------------------------------------------------------- sources
 
-def _load_source(file, meta):
+def _load_source(file, meta, keep_fields=False):
     from ..io.metadata import read_metadata_json, resolve_metadata
     from ..io.sources import read_packet_source
 
@@ -36,7 +36,7 @@ def _load_source(file, meta):
         raise click.ClickException(
             "Metadata not found; specify with -m/--meta")
     info = read_metadata_json(meta_path)
-    scans, imu = read_packet_source(file, info)
+    scans, imu = read_packet_source(file, info, keep_fields=keep_fields)
     return info, scans, imu, meta_path
 
 
@@ -794,10 +794,17 @@ def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
               "src/ptudes/cli/viz.py:49-62)")
 @click.option("--stride", type=int, default=1,
               help="Export every Nth scan with --out-dir")
-def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride):
-    """Raw scan viewer: destaggered range images as matplotlib figures —
-    one scan (--out-png/interactive) or the whole stream (--out-dir)
-    (reference ``ptudes viz`` uses the OpenGL SimpleViz,
+@click.option("--field", "field_name", default="range",
+              type=click.Choice(["range", "reflectivity", "signal",
+                                 "nearir", "range2", "reflectivity2",
+                                 "signal2"]),
+              help="Channel to render (reference SimpleViz cycles "
+              "LidarScan fields; dual-return *2 channels need a DUAL/"
+              "FUSA profile recording)")
+def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name):
+    """Raw scan viewer: destaggered channel images as matplotlib
+    figures — one scan (--out-png/interactive) or the whole stream
+    (--out-dir) (reference ``ptudes viz`` uses the OpenGL SimpleViz,
     ``src/ptudes/cli/viz.py``)."""
     import jax.numpy as jnp
     import matplotlib
@@ -806,20 +813,31 @@ def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride):
     import matplotlib.pyplot as plt
     from ..ops.projection import destagger
 
-    info, scans, imu, _ = _load_source(file, meta)
+    info, scans, imu, _ = _load_source(file, meta,
+                                       keep_fields=field_name != "range")
     print(f"scans: {len(scans)}, imus: {len(imu)}, "
           f"sensor: {info.prod_line} {info.mode}")
     if not len(scans):
         return
+    if field_name == "range":
+        channel, unit, cmap = scans.range_mm, "range (mm)", "viridis"
+    else:
+        if field_name not in (scans.fields or {}):
+            raise click.ClickException(
+                f"field '{field_name}' not in this recording's profile "
+                f"(has: range, {', '.join(sorted(scans.fields or {}))})")
+        channel, unit, cmap = scans.fields[field_name], field_name, "gray"
+        if field_name == "range2":
+            unit, cmap = "range2 (mm)", "viridis"
     shifts = jnp.asarray(np.asarray(info.pixel_shift_by_row))
 
     def render(i, path=None):
         img = destagger(
-            jnp.asarray(scans.range_mm[i].astype(np.float32)), shifts)
+            jnp.asarray(channel[i].astype(np.float32)), shifts)
         plt.figure(figsize=(16, 4))
-        plt.imshow(np.asarray(img), cmap="viridis", aspect="auto")
-        plt.colorbar(label="range (mm)")
-        plt.title(f"scan {i}  t={scans.ts[i]:.3f}s")
+        plt.imshow(np.asarray(img), cmap=cmap, aspect="auto")
+        plt.colorbar(label=unit)
+        plt.title(f"scan {i} [{field_name}]  t={scans.ts[i]:.3f}s")
         if path:
             plt.savefig(path, dpi=120, bbox_inches="tight")
             plt.close()

@@ -35,6 +35,11 @@ class ScanSequence:
     valid_cols: np.ndarray  # [N, W] bool
     ts: np.ndarray          # [N] f64 s — last valid column ts (reference
     #                         uses last_valid_column_ts, kiss.py:65)
+    # extra channels ([N, H, W] each: reflectivity/signal/nearir, plus
+    # range2/reflectivity2/signal2 on dual-return profiles), retained only
+    # when requested — the odometry path needs range alone (reference gets
+    # every field from ouster-sdk's LidarScan, ``src/ptudes/data.py:44-62``)
+    fields: dict[str, np.ndarray] | None = None
 
     def __len__(self) -> int:
         return self.range_mm.shape[0]
@@ -43,8 +48,10 @@ class ScanSequence:
         """start/end-scan windowing (reference ``withScanIdx`` args,
         ``src/ptudes/data.py:31-36``; end inclusive)."""
         sl = slice(start_scan, None if end_scan is None else end_scan + 1)
+        fields = (None if self.fields is None
+                  else {k: v[sl] for k, v in self.fields.items()})
         return ScanSequence(self.range_mm[sl], self.col_ts[sl],
-                            self.valid_cols[sl], self.ts[sl])
+                            self.valid_cols[sl], self.ts[sl], fields)
 
 
 @dataclass
@@ -72,14 +79,21 @@ def imu_from_raw(sys_ts_ns, accel_g, avel_deg) -> ImuSequence:
     )
 
 
-def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns) -> ScanSequence:
-    """Group parsed columns into dense [H, W] frames by frame_id change."""
+def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns,
+                   keep_fields: bool = False) -> ScanSequence:
+    """Group parsed columns into dense [H, W] frames by frame_id change.
+
+    ``keep_fields=True`` also assembles the non-range channels
+    (reflectivity/signal/nearir + second returns on dual profiles) for
+    viewers — the reference exposes these via ouster-sdk ``LidarScan``
+    fields (``src/ptudes/data.py:44-62``)."""
     w, h = info.w, info.h
     n_cols = cols.measurement_id.shape[0]
     if n_cols == 0:
         return ScanSequence(
             np.zeros((0, h, w), np.uint32), np.zeros((0, w), np.uint64),
-            np.zeros((0, w), bool), np.zeros((0,), np.float64))
+            np.zeros((0, w), bool), np.zeros((0,), np.float64),
+            {} if keep_fields else None)
 
     fid = cols.frame_id.astype(np.int64)
     new_frame = np.concatenate([[True], fid[1:] != fid[:-1]])
@@ -98,13 +112,27 @@ def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns) -> ScanSequence:
     col_ts[si, mi] = cols.timestamp[ok]
     valid[si, mi] = True
 
+    fields = None
+    if keep_fields:
+        fields = {}
+        named = {"reflectivity": cols.reflectivity, "signal": cols.signal,
+                 "nearir": cols.nir, "range2": cols.range2_mm,
+                 "reflectivity2": cols.reflectivity2,
+                 "signal2": cols.signal2}
+        for name, ch in named.items():
+            if ch is None:
+                continue
+            img = np.zeros((n_scans, h, w), ch.dtype)
+            img[si, :, mi] = ch[ok]
+            fields[name] = img
+
     # scan timestamp = last valid column ts (ns -> s)
     last_ts = np.where(valid, col_ts, 0).max(axis=1).astype(np.float64) * 1e-9
-    return ScanSequence(range_mm, col_ts, valid, last_ts)
+    return ScanSequence(range_mm, col_ts, valid, last_ts, fields)
 
 
 def read_ouster_pcap(
-    pcap_path: str, info: SensorInfo
+    pcap_path: str, info: SensorInfo, keep_fields: bool = False
 ) -> tuple[ScanSequence, ImuSequence]:
     """Decode an Ouster pcap: split UDP payloads by size into lidar/IMU."""
     lsize = pkt.lidar_packet_size(info)
@@ -121,7 +149,7 @@ def read_ouster_pcap(
             f"no UDP stream of lidar packet size {lsize} in {pcap_path}; "
             f"found sizes {sizes[:5]} — wrong metadata/profile?")
     cols = pkt.parse_lidar_packets(info, streams[lsize].payloads)
-    return assemble_scans(info, cols), imu
+    return assemble_scans(info, cols, keep_fields), imu
 
 
 def _bag_reader(bag_paths):
@@ -138,6 +166,7 @@ def read_ouster_bag(
     info: SensorInfo,
     lidar_topic: str = "",
     imu_topic: str = "",
+    keep_fields: bool = False,
 ) -> tuple[ScanSequence, ImuSequence]:
     """Ouster raw-packet bag source (reference ``OusterRawBagSource``,
     ``src/ptudes/bag.py:21-96``): reads ``*lidar_packets``/``*imu_packets``
@@ -170,7 +199,7 @@ def read_ouster_bag(
 
     if lidar_payloads:
         cols = pkt.parse_lidar_packets(info, np.stack(lidar_payloads))
-        scans = assemble_scans(info, cols)
+        scans = assemble_scans(info, cols, keep_fields)
     else:
         scans = ScanSequence(
             np.zeros((0, info.h, info.w), np.uint32),
@@ -229,18 +258,18 @@ def read_imu_bag(
 
 
 def read_packet_source(
-    file_path: str, info: SensorInfo
+    file_path: str, info: SensorInfo, keep_fields: bool = False
 ) -> tuple[ScanSequence, ImuSequence]:
     """pcap / bag / directory-of-bags dispatch (reference
     ``read_packet_source``, ``src/ptudes/utils.py:171-187``)."""
     p = Path(file_path)
     if p.is_file() and p.suffix == ".pcap":
-        return read_ouster_pcap(file_path, info)
+        return read_ouster_pcap(file_path, info, keep_fields)
     if p.is_file() and p.suffix in (".bag", ".db3"):
-        return read_ouster_bag(file_path, info)
+        return read_ouster_bag(file_path, info, keep_fields=keep_fields)
     if p.is_dir():
         if bag2_io.is_rosbag2(str(p)):
-            return read_ouster_bag(str(p), info)
+            return read_ouster_bag(str(p), info, keep_fields=keep_fields)
         bags = sorted(str(b) for b in p.glob("*.bag"))
-        return read_ouster_bag(bags, info)
+        return read_ouster_bag(bags, info, keep_fields=keep_fields)
     raise ValueError(f"unsupported source {file_path}")

@@ -516,3 +516,53 @@ class TestEudpProfileMatrix:
             :info.columns_per_packet]]
         assert (scans.range_mm[0][:, mids]
                 == np.asarray(cols.range_mm)[mids].T).all()
+
+
+class TestFieldRetention:
+    """keep_fields=True assembles the non-range channels into [N, H, W]
+    images for viewers (reference exposes them as ouster-sdk LidarScan
+    fields, ``src/ptudes/data.py:44-62``; SimpleViz cycles them)."""
+
+    def test_assemble_keep_fields_dual(self):
+        info = make_info(h=16, w=32, profile=meta_io.PROFILE_DUAL)
+        cpp = info.columns_per_packet
+        ts = (np.arange(cpp) + 100).astype(np.uint64)
+        mids = np.arange(cpp).astype(np.uint16)
+        r1 = RNG.integers(1, 2**19, (cpp, 16)).astype(np.uint32)
+        r2 = RNG.integers(1, 2**19, (cpp, 16)).astype(np.uint32)
+        refl = RNG.integers(0, 255, (cpp, 16)).astype(np.uint16)
+        sig = RNG.integers(0, 65535, (cpp, 16)).astype(np.uint16)
+        nir = RNG.integers(0, 65535, (cpp, 16)).astype(np.uint16)
+        buf = pkt.make_eudp_packet(info, ts, mids, 5, r1, reflectivity=refl,
+                                   signal=sig, nir=nir, range2_mm=r2)
+        cols = pkt.parse_lidar_packets(
+            info, np.frombuffer(buf, np.uint8)[None])
+        scans = sources.assemble_scans(info, cols, keep_fields=True)
+        assert set(scans.fields) == {"reflectivity", "signal", "nearir",
+                                     "range2", "reflectivity2", "signal2"}
+        for name, truth in (("reflectivity", refl), ("signal", sig),
+                            ("nearir", nir), ("range2", r2)):
+            img = scans.fields[name]
+            assert img.shape == (1, info.h, info.w)
+            np.testing.assert_array_equal(img[0][:, mids], truth[mids].T)
+        # windowing slices the fields too
+        win = scans.window(0, 0)
+        assert set(win.fields) == set(scans.fields)
+        assert win.fields["signal"].shape == (1, info.h, info.w)
+
+    def test_fields_dropped_by_default(self):
+        info = make_info()
+        payloads, _ = synth_frames(info, n_frames=1)
+        arr = np.stack([np.frombuffer(p, np.uint8) for _, p in payloads])
+        scans = sources.assemble_scans(info, pkt.parse_lidar_packets(info, arr))
+        assert scans.fields is None
+        assert scans.window(0, 0).fields is None
+
+    def test_pcap_keep_fields(self, tmp_path):
+        info = make_info()
+        payloads, _ = synth_frames(info, n_frames=2)
+        path = str(tmp_path / "kf.pcap")
+        pcap_io.write_pcap_udp(path, payloads)
+        scans, _ = sources.read_packet_source(path, info, keep_fields=True)
+        assert set(scans.fields) == {"reflectivity", "signal", "nearir"}
+        assert scans.fields["nearir"].shape == scans.range_mm.shape
