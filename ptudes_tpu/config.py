@@ -64,6 +64,12 @@ class KissConfig:
     # GN inner-loop backend for cached mode: "auto" picks the fused Pallas
     # kernel on TPU when shapes align, "jnp"/"pallas" force a choice
     gn_backend: str = "auto"
+    # GN steps per while_loop body (cached mode, refresh disabled):
+    # result-identical for any factor (steps are convergence-masked).
+    # Measured on TPU v5e at bench shapes: the while boundary on the
+    # 4-scalar carry is CHEAPER than the masked extra GN kernels, so 1
+    # (plain while) wins — the knob stays for other shape regimes
+    gn_unroll: int = 1
 
     @property
     def resolved_voxel_size(self) -> float:

@@ -166,11 +166,18 @@ def register_scan(
     #    the compacted frame in both paths — compact is order-preserving,
     #    so first-in-voxel survivors match.
     if grid_hw is not None:
-        # scatter-free: window compare pre-dedup, then ONE sort groups the
-        # survivors by voxel (run starts = exact first-in-voxel set)
+        # scatter-free: window compare pre-dedup, then compact the ~5% of
+        # survivors to max_frame width with ONE full-width sort, and run
+        # the exact sort-dedup at the COMPACTED width (run starts = exact
+        # first-in-voxel set; compact is stable so scan order and thus the
+        # chosen representatives are unchanged). Doing the dedup before
+        # compacting instead costs a second full-width sort (~190 us at
+        # 128x1024 — measured via profile_trace). Survivors beyond
+        # max_frame are dropped, as in the dedup-first path.
         pre = voxel.window_prededup_mask(pts, mask, vs * 0.5, grid_hw)
+        pre_pts, pre_mask = voxel.compact(pts, pre, cap.max_frame)
         frame_ds, frame_mask = voxel.first_in_voxel_sorted(
-            pts, pre, vs * 0.5, cap.max_frame)
+            pre_pts, pre_mask, vs * 0.5, cap.max_frame)
         src_pts, src_keep = voxel.first_in_voxel_sorted(
             frame_ds, frame_mask, vs * 1.5, cap.max_frame)
         source, source_mask = voxel.compact(src_pts, src_keep,
@@ -223,6 +230,7 @@ def register_scan(
             plane_radius=cfg.plane_fit_radius,
             refresh_drift=cfg.nn_refresh_drift,
             gn_backend=cfg.gn_backend,
+            gn_unroll=cfg.gn_unroll,
             axis_name=axis_name,
         )
     else:

@@ -247,7 +247,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
         "neighborhood", "n_voxels", "plane_radius", "gn_backend",
-        "refresh_drift", "axis_name",
+        "refresh_drift", "gn_unroll", "axis_name",
     ),
 )
 def register_frame_cached(
@@ -271,6 +271,7 @@ def register_frame_cached(
     plane_radius: float | None = None,
     gn_backend: str = "auto",
     refresh_drift: float = 0.5,
+    gn_unroll: int = 1,
     axis_name: str | None = None,
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
@@ -291,6 +292,15 @@ def register_frame_cached(
     hot-loop collective of the point-sharded pipeline (~200 bytes/iter
     over ICI). The initial guess and map must be replicated; the returned
     pose, counts and iteration numbers are then identical on all shards.
+
+    ``gn_unroll``: GN steps per ``while_loop`` body (no-refresh path
+    only). Each step is convergence-masked (dx = 0, counters frozen once
+    converged), so the result is IDENTICAL for any unroll factor — but the
+    while boundary (cond evaluation + carry round-trip, ~100 us measured
+    through the fused scan program) is paid once per ``gn_unroll`` steps
+    instead of once per step. The fused Pallas GN body itself is ~9 us, so
+    the boundary dominates at unroll=1; typical converged registrations
+    take 4-6 steps, making 4 a good factor (1-2 trips).
     """
     assert loss in ("point", "plane")
     if gn_backend == "auto":
@@ -333,6 +343,11 @@ def register_frame_cached(
         cand0 = fetch(guess)
 
     def gn_step(t_cur, cand, converged, n_corr, iters):
+        # freeze on the iteration cap as well as convergence: with
+        # gn_unroll > 1 the while cond is only checked per BODY, so the
+        # per-step mask must enforce the cap to keep any unroll factor
+        # result-identical to unroll=1
+        converged = jnp.logical_or(converged, iters >= max_iterations)
         if gn_backend == "pallas":
             if refresh:
                 # NOTE: prep (lane-major transpose) stays inside the
@@ -399,7 +414,10 @@ def register_frame_cached(
         # candidates frozen: closure capture, 4-scalar carry — no multi-MB
         # CandidateSet copies through the loop boundary
         def body(carry):
-            return gn_step(carry[0], cand0, carry[1], carry[2], carry[3])
+            for _ in range(max(1, gn_unroll)):
+                carry = gn_step(carry[0], cand0, carry[1], carry[2],
+                                carry[3])
+            return carry
 
         def cond(carry):
             return jnp.logical_and(~carry[1], carry[3] < max_iterations)
