@@ -78,7 +78,13 @@ def bench_config():
         # insert retry path (ATE measured unchanged, +5% throughput).
         # dedup_table 2^18: first-in-voxel scatter tables sized to ~2x the
         # raw point count; collisions just strengthen the downsample.
-        cap=Capacity(max_points=H * W, max_frame=32768, max_source=8192,
+        # max_source=4096: the ~6.2k deduped source decimates evenly to
+        # 4096 (scan-order-unbiased), halving the per-iteration GN width
+        # and the candidate gathers (+5.5% measured at ATE parity).
+        # Insert runs the default exact steady mode ("cond"); the
+        # decimate steady mode reaches 225 scans/s at ATE 0.0256 on this
+        # frontier-heavy scene (speed knob, not default).
+        cap=Capacity(max_points=H * W, max_frame=32768, max_source=4096,
                      map_capacity=1 << 19, dedup_table=1 << 18,
                      max_new_per_scan=4096, max_probes=1),
         ekf=EkfConfig(),

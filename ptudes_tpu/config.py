@@ -135,10 +135,18 @@ class PipelineConfig:
     # so N=2 halves every full-width stage's cost for free; 1 disables
     col_decimation: int = 1
     # number of leading scans run with the full-overflow map insert
-    # (whole frame lands in the map at once); -1 = all scans (exact map
-    # semantics, default). A small value makes the steady tail insert at
-    # most cap.max_new_per_scan new points per scan and retry the rest —
-    # skips the overflow loop's carry boundary (~2% faster at ppv=8) at
-    # the cost of a persistently sparser map when scene turnover outruns
-    # the per-scan insert budget (bench: ATE 0.0205 -> 0.0251)
-    bootstrap_scans: int = -1
+    # (whole frame lands in the map at once, as one wide chunk); -1 = all
+    # scans (exact map semantics). The steady tail inserts at most
+    # cap.max_new_per_scan new points per scan — decimated EVENLY over
+    # the new set (ops.hashmap.insert_deduped), the rest retrying next
+    # scan — which skips the overflow loop's ~0.45 ms/scan carry boundary
+    # at map-content parity (the earlier first-N truncation starved sweep
+    # tails and cost ATE 0.0205 -> 0.0251; even decimation measures at
+    # full-overflow parity on the bench scene)
+    bootstrap_scans: int = 1
+    # steady-tail insert mode (ops.hashmap.insert_deduped ``overflow``):
+    # "cond" = exact chunked insert behind one lax.cond — scans whose new
+    # points fit the budget pay only the untaken-branch boundary; False =
+    # budget-capped even decimation with next-scan retry (fastest, map
+    # may lag the frontier on high-turnover scenes)
+    steady_insert_mode: bool | str = "cond"

@@ -104,7 +104,7 @@ def register_scan(
     deskew_twist: jax.Array | None = None,
     update_ok: jax.Array | None = None,
     grid_hw: tuple[int, int] | None = None,
-    insert_overflow: bool = True,
+    insert_overflow: bool | str = True,
     axis_name: str | None = None,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
@@ -180,8 +180,12 @@ def register_scan(
             pre_pts, pre_mask, vs * 0.5, cap.max_frame)
         src_pts, src_keep = voxel.first_in_voxel_sorted(
             frame_ds, frame_mask, vs * 1.5, cap.max_frame)
+        # overflow beyond max_source decimates evenly in scan order —
+        # truncation would cut off the sweep TAIL (a spatial bias that
+        # makes the capacity knob unsafe to tighten)
         source, source_mask = voxel.compact(src_pts, src_keep,
-                                            cap.max_source)
+                                            cap.max_source,
+                                            decimate_overflow=True)
     else:
         keep_frame = voxel.first_in_voxel_mask(
             pts, mask, vs * 0.5, cap.dedup_table)
@@ -190,7 +194,8 @@ def register_scan(
             frame_ds, frame_mask, vs * 1.5, cap.dedup_table
         )
         source, source_mask = voxel.compact(frame_ds, keep_src,
-                                            cap.max_source)
+                                            cap.max_source,
+                                            decimate_overflow=True)
 
     # 4. adaptive threshold
     sigma = get_adaptive_threshold(state, cfg)
@@ -262,10 +267,17 @@ def register_scan(
     ok = (jnp.asarray(True) if update_ok is None
           else update_ok.astype(bool))
     frame_w = se3.transform(new_pose, frame_ds)
+    # bootstrap (overflow=True) body: insert the whole frame as ONE chunk
+    # instead of ceil(frame/max_new) fori trips — the chunk loop carries
+    # the full map state per trip and cost 22.7 ms on the first scan at
+    # bench shapes (~9% of a 50-scan run, measured via profile_trace);
+    # the one-shot claim+scatter at frame width costs ~1.5 ms. "cond" and
+    # False are the steady-body modes (see hashmap.insert_deduped).
     local_map = hashmap.insert_deduped(
         state.local_map, frame_w, frame_mask & ok,
         voxel_size=vs, max_probes=cap.max_probes,
-        new_capacity=cap.max_new_per_scan,
+        new_capacity=(cap.max_frame if insert_overflow is True
+                      else cap.max_new_per_scan),
         overflow=insert_overflow,
     )
     local_map = hashmap.remove_far(

@@ -80,7 +80,7 @@ def init_state(cfg: PipelineConfig,
 
 
 def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
-                   insert_overflow: bool = True, log: bool = False,
+                   insert_overflow: bool | str = True, log: bool = False,
                    axis_name: str | None = None):
     """Build the jittable scan_step closure over the projection LUT.
 
@@ -221,7 +221,9 @@ def run_sequence(
     boot = make_scan_step(lut, cfg, insert_overflow=True, log=log)
     if k >= n:
         return jax.lax.scan(boot, state, batches)
-    steady = make_scan_step(lut, cfg, insert_overflow=False, log=log)
+    steady = make_scan_step(lut, cfg,
+                            insert_overflow=cfg.steady_insert_mode,
+                            log=log)
     if k == 0:
         return jax.lax.scan(steady, state, batches)
     head = jax.tree.map(lambda x: x[:k], batches)

@@ -57,10 +57,20 @@ class LioOnline:
                 raise ValueError("prev_scan_ts requires time_origin")
             self._prev_scan_ts = float(prev_scan_ts) - float(time_origin)
         self._n_dropped_imu = 0
-        # overflow=True: a live stream must absorb bursts of new points
-        # (bootstrap, doorways) in the scan they arrive
-        self._step = jax.jit(
+        # boot/steady split, mirroring lio.run_sequence: the first
+        # cfg.bootstrap_scans scans absorb the whole frame at once (one
+        # wide insert chunk); the steady step inserts an evenly-decimated
+        # cap.max_new_per_scan budget per scan — bursts (doorways) spread
+        # over the next couple of scans via the retry rule, and the
+        # per-scan latency stays free of the overflow loop's carry
+        # boundary. bootstrap_scans < 0 keeps overflow on for every scan.
+        self._n_scans = 0
+        self._boot_scans = cfg.bootstrap_scans
+        self._step_boot = jax.jit(
             lio.make_scan_step(lut, cfg, insert_overflow=True))
+        self._step_steady = jax.jit(
+            lio.make_scan_step(lut, cfg,
+                               insert_overflow=cfg.steady_insert_mode))
 
     @property
     def n_dropped_imu(self) -> int:
@@ -116,7 +126,10 @@ class LioOnline:
             imu_valid=jnp.asarray(valid),
             guess_pose=jnp.eye(4, dtype=jnp.float32),
         )
-        self.state, out = self._step(self.state, batch)
+        boot = self._boot_scans < 0 or self._n_scans < self._boot_scans
+        self.state, out = (self._step_boot if boot
+                           else self._step_steady)(self.state, batch)
+        self._n_scans += 1
         return out
 
     @property

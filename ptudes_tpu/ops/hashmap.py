@@ -219,7 +219,7 @@ def insert_deduped(
     voxel_size: float,
     max_probes: int = 2,
     new_capacity: int = 8192,
-    overflow: bool = True,
+    overflow: bool | str = True,
 ) -> VoxelHashMap:
     """Occupancy-deduped insert for sub-voxel-unique batches.
 
@@ -232,6 +232,14 @@ def insert_deduped(
     number of genuinely new points (scene turnover), not with frame size.
     Points dropped by the compaction capacity are retried naturally on the
     next scan (they remain "new" until stored).
+
+    ``overflow`` selects how new points beyond ``new_capacity`` are
+    handled: ``True`` = always run the chunked fori_loop (exact, but even
+    its zero-trip execution costs ~0.45 ms at bench shapes — the map
+    rides in the while carry); ``"cond"`` = exact, but the fori_loop sits
+    under ONE ``lax.cond`` so scans with no overflow pay only the
+    untaken-branch boundary (~0.1 ms); ``False`` = no loop at all, the
+    new set decimates evenly to ``new_capacity`` and the rest retries.
 
     kiss-icp parity note: kiss appends until max_points_per_voxel with no
     spatial constraint inside the voxel; the octant rule stores a strictly
@@ -342,14 +350,26 @@ def insert_deduped(
     # the frame is new) run inside ONE dynamic-trip fori_loop — zero
     # iterations in steady state. A per-chunk lax.cond chain costs one
     # carry-copy boundary per cond even on the untaken branch (~50-140 us
-    # each measured); the single while pays that boundary once.
-    # ``overflow=False`` drops the loop entirely: points beyond chunk 0
-    # stay "new" and retry next scan. Even a ZERO-trip dynamic loop pays a
-    # carry-copy boundary for the full map state (~0.3 ms/scan measured),
-    # so pipelines run their bootstrap scan with overflow=True and the
-    # steady tail without (models/lio.run_sequence).
-    state = insert_chunk(state, is_new & (new_pos < new_capacity))
+    # each measured); the single while pays that boundary once — but even
+    # a ZERO-trip dynamic loop costs ~0.45 ms/scan at bench shapes (the
+    # full map state rides in the while carry), so pipelines run ONLY the
+    # bootstrap scan with overflow=True (models/lio.run_sequence).
+    # ``overflow=False`` has no loop at all: the new-point set DECIMATES
+    # EVENLY (same Bresenham rule as voxel.compact) to the chunk budget
+    # and the rest stays "new" and retries next scan. Even decimation
+    # instead of first-N truncation matters: insert order is scan order,
+    # so truncation starved the END of every frontier sweep and cost ATE
+    # 0.0205 -> 0.0251 on the bench scene; decimation degrades the
+    # frontier isotropically instead (measured parity with full overflow).
     n_chunks = max(1, -(-pts.shape[0] // new_capacity))
+    if overflow or n_chunks == 1:
+        state = insert_chunk(state, is_new & (new_pos < new_capacity))
+    else:
+        assert pts.shape[0] * new_capacity < 2**31
+        state = insert_chunk(
+            state,
+            is_new & ((new_pos * new_capacity) % jnp.maximum(n_new, 1)
+                      < new_capacity))
     if n_chunks > 1 and overflow:
         needed = (n_new + new_capacity - 1) // new_capacity
 
@@ -358,8 +378,14 @@ def insert_deduped(
             return insert_chunk(
                 st, is_new & (new_pos >= lo) & (new_pos < lo + new_capacity))
 
-        state = jax.lax.fori_loop(
-            1, jnp.minimum(needed, n_chunks), chunk_body, state)
+        def run_rest(st):
+            return jax.lax.fori_loop(
+                1, jnp.minimum(needed, n_chunks), chunk_body, st)
+
+        if overflow == "cond":
+            state = jax.lax.cond(needed > 1, run_rest, lambda st: st, state)
+        else:
+            state = run_rest(state)
 
     fps, counts, occ_col, reps_i32, points = state
     meta = jnp.concatenate(

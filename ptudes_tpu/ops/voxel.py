@@ -138,7 +138,8 @@ def _take_pad(col: jax.Array, capacity: int) -> jax.Array:
 
 
 def compact(
-    pts: jax.Array, mask: jax.Array, capacity: int, fill: float = 0.0
+    pts: jax.Array, mask: jax.Array, capacity: int, fill: float = 0.0,
+    decimate_overflow: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack masked points to the front of a fixed-size [capacity, 3] buffer.
 
@@ -147,9 +148,24 @@ def compact(
     scatters serialize per update row (~8 ns each), so the obvious
     cumsum+scatter formulation costs ~640 us at 131k points; the bitonic
     sort network the TPU backend emits is ~5x cheaper for the same job.
-    Points beyond ``capacity`` are dropped.
-    Returns (out_pts [capacity, 3], out_mask [capacity]).
+    Points beyond ``capacity`` are dropped — or, with
+    ``decimate_overflow=True``, the overflow is spread EVENLY over the
+    keepers in scan order (keep position p iff ``(p*capacity) % n_keep <
+    capacity``: exactly ``capacity`` evenly-spaced survivors) instead of
+    truncating the tail. A range-image scan is column-ordered, so plain
+    truncation cuts off the END of the sweep — a spatial bias — while
+    even decimation degrades resolution isotropically (the behavior a
+    capacity knob should have for ICP sources). No-op when the keepers
+    fit: every position satisfies the test, and the cost is one
+    elementwise mask fold before the same single sort.
     """
+    if decimate_overflow:
+        # i32 product bound (x64 stays off on TPU)
+        assert pts.shape[0] * capacity < 2**31, (
+            "decimate_overflow: N*capacity must fit int32")
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        n_keep = jnp.maximum(pos[-1] + 1, 1)
+        mask = mask & ((pos * capacity) % n_keep < capacity)
     drop = (~mask).astype(jnp.int32)
     _, x, y, z = jax.lax.sort(
         (drop, pts[:, 0], pts[:, 1], pts[:, 2]),

@@ -23,6 +23,7 @@ framework's tp x dp analog: ``mesh = (bag, pt)``.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -50,11 +51,28 @@ def sharded_run_sequence(
     n_pt = mesh.shape["pt"]
     assert cfg.cap.max_source % n_pt == 0, (
         f"max_source={cfg.cap.max_source} not divisible by pt={n_pt}")
-    step = lio.make_scan_step(lut, cfg, insert_overflow=True, log=log,
+    # same boot/steady insert split as lio.run_sequence (replicated map
+    # updates -> identical map content per device either way)
+    boot = lio.make_scan_step(lut, cfg, insert_overflow=True, log=log,
                               axis_name="pt")
+    steady = lio.make_scan_step(lut, cfg,
+                                insert_overflow=cfg.steady_insert_mode,
+                                log=log, axis_name="pt")
 
     def run(state, batches):
-        return jax.lax.scan(step, state, batches)
+        n = batches.range_m.shape[0]
+        k = n if cfg.bootstrap_scans < 0 else min(cfg.bootstrap_scans, n)
+        if k >= n:
+            return jax.lax.scan(boot, state, batches)
+        if k == 0:
+            return jax.lax.scan(steady, state, batches)
+        head = jax.tree.map(lambda x: x[:k], batches)
+        state2, out_h = jax.lax.scan(boot, state, head)
+        rest = jax.tree.map(lambda x: x[k:], batches)
+        state2, out_t = jax.lax.scan(steady, state2, rest)
+        out = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), out_h, out_t)
+        return state2, out
 
     fn = shard_map(
         run, mesh=mesh,

@@ -17,7 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the persistent compilation cache segfaults (zstd write path) on the
+# large 8-device shard_map executables these tests compile; tests gain
+# little from it anyway — keep it off unless a test opts in
+os.environ.setdefault("PTUDES_COMPILE_CACHE", "off")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", None)

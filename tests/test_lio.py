@@ -170,7 +170,7 @@ def test_bootstrap_split_matches_full_overflow(sim_run):
     the trajectories agree to registration noise."""
     import dataclasses
     sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
-    cfg_full = make_cfg()
+    cfg_full = dataclasses.replace(make_cfg(), bootstrap_scans=-1)
     cfg_boot = dataclasses.replace(cfg_full, bootstrap_scans=2)
     _, out_full = run(cfg_full, sensor, ts, scans, imu, imu_ts)
     _, out_boot = run(cfg_boot, sensor, ts, scans, imu, imu_ts)
