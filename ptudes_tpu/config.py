@@ -62,7 +62,10 @@ class KissConfig:
     # faces; ~4x fewer gather rows, negligible quality impact for ICP)
     nn_neighborhood: int = 27
     # GN inner-loop backend for cached mode: "auto" picks the fused Pallas
-    # kernel on TPU when shapes align, "jnp"/"pallas" force a choice
+    # kernel on TPU when shapes align, "jnp"/"pallas" force a choice;
+    # "fused" runs the ENTIRE iteration loop inside one Pallas kernel
+    # (ops.pallas_icp: no XLA while boundary, scalar solve/update on the
+    # TPU scalar unit) — requires nn_refresh_drift=0 and no point sharding
     gn_backend: str = "auto"
     # GN steps per while_loop body (cached mode, refresh disabled):
     # result-identical for any factor (steps are convergence-masked).

@@ -282,8 +282,11 @@ def register_frame_cached(
     no hash probes, no gathers, no data-dependent memory traffic.
 
     ``gn_backend``: "pallas" fuses the whole per-iteration dense pass into
-    one TPU kernel (ops.pallas_gn — ~50 XLA ops -> 1 launch), "jnp" uses
-    the plain XLA path, "auto" picks pallas on TPU when the source
+    one TPU kernel (ops.pallas_gn — ~50 XLA ops -> 1 launch), "fused"
+    moves the ENTIRE iteration loop into one kernel (ops.pallas_icp — the
+    while boundary and the scalar solve/update chain run on the TPU
+    scalar unit; requires frozen candidates and no ``axis_name``), "jnp"
+    uses the plain XLA path, "auto" picks pallas on TPU when the source
     capacity is kernel-block aligned.
 
     ``axis_name``: when set (inside shard_map), ``source``/``source_mask``
@@ -308,6 +311,13 @@ def register_frame_cached(
         gn_backend = (
             "pallas" if (jax.default_backend() == "tpu"
                          and source.shape[0] % BLK == 0) else "jnp")
+    if gn_backend == "fused":
+        assert axis_name is None, (
+            "fused backend cannot psum inside the kernel loop; use "
+            "gn_backend='pallas' under shard_map")
+        assert refresh_drift == 0.0, (
+            "fused backend requires frozen candidates "
+            "(nn_refresh_drift=0)")
     max_d2 = max_distance * max_distance
     guess = initial_guess.astype(jnp.float32)
     guess_inv = se3.inv(guess)
@@ -327,7 +337,7 @@ def register_frame_cached(
             fit_planes=fit_planes, plane_radius=plane_radius,
         )
 
-    if not refresh and gn_backend == "pallas":
+    if not refresh and gn_backend in ("pallas", "fused"):
         # candidates are loop-invariant without refresh: prep ONCE here
         # and close over the result — keeping them in the while carry
         # costs a multi-MB carry copy per iteration. The patch plane fit
@@ -338,9 +348,21 @@ def register_frame_cached(
         r = (1.5 * voxel_size if plane_radius is None else plane_radius)
         prepped0 = prep_with_plane_pallas(
             cand0, source_mask, se3.transform(guess, source),
-            jnp.asarray(r, jnp.float32), loss=loss)
+            jnp.asarray(r, jnp.float32), loss=loss,
+            interpret=(jax.default_backend() != "tpu"))
     else:
         cand0 = fetch(guess)
+
+    if gn_backend == "fused":
+        from .pallas_icp import icp_loop_pallas
+        pose, n_corr, iters = icp_loop_pallas(
+            source, prepped0, guess, kernel, max_d2, convergence,
+            plane_min_quality=plane_min_quality,
+            max_iterations=max_iterations,
+            prior_rot_weight=prior_rot_weight,
+            prior_trans_weight=prior_trans_weight,
+            interpret=(jax.default_backend() != "tpu"))
+        return IcpResult(pose=pose, num_corr=n_corr, iterations=iters)
 
     def gn_step(t_cur, cand, converged, n_corr, iters):
         # freeze on the iteration cap as well as convergence: with
