@@ -23,6 +23,27 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("PTUDES_COMPILE_CACHE", "off")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", None)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    # The 8-device shard_map programs (test_parallel) are the largest
+    # XLA:CPU compiles in the suite. After ~100 tests' worth of
+    # accumulated jit executables in one process, the CPU backend's
+    # compiler can segfault on them (observed twice, always inside
+    # backend_compile_and_load; the same tests pass in a fresh process).
+    # Run them FIRST, while the process is clean — stable sort keeps the
+    # usual order otherwise.
+    items.sort(key=lambda it: 0 if "test_parallel" in it.nodeid else 1)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_executables_between_modules():
+    # Drop jit executable references at module boundaries so the CPU
+    # backend's compiled-program memory doesn't accumulate across the
+    # whole suite (see pytest_collection_modifyitems above).
+    yield
+    jax.clear_caches()
