@@ -129,6 +129,9 @@ def parse_lidar_packets(info: SensorInfo, payloads: np.ndarray) -> ParsedColumns
             reflectivity=nat["reflectivity"],
             signal=nat["signal"],
             nir=nat["nir"],
+            range2_mm=nat.get("range2_mm"),
+            reflectivity2=nat.get("reflectivity2"),
+            signal2=nat.get("signal2"),
         )
 
     if prof == PROFILE_LEGACY:

@@ -70,6 +70,17 @@ def get_lib():
     ]
     lib.parse_rng19.restype = None
     lib.parse_rng19.argtypes = lib.parse_legacy.argtypes
+    lib.parse_rng15.restype = None
+    lib.parse_rng15.argtypes = lib.parse_legacy.argtypes
+    dual_argtypes = list(lib.parse_legacy.argtypes) + [
+        np.ctypeslib.ndpointer(np.uint32, flags="C"),
+        np.ctypeslib.ndpointer(np.uint16, flags="C"),
+        np.ctypeslib.ndpointer(np.uint16, flags="C"),
+    ]
+    lib.parse_dual.restype = None
+    lib.parse_dual.argtypes = dual_argtypes
+    lib.parse_fusa.restype = None
+    lib.parse_fusa.argtypes = dual_argtypes
     lib.parse_imu.restype = None
     lib.parse_imu.argtypes = [
         u8p, i64, i64,
@@ -119,9 +130,13 @@ def parse_lidar(profile: str, payloads: np.ndarray, h: int, cpp: int):
     if lib is None:
         return None
     fn = {"LEGACY": lib.parse_legacy,
-          "RNG19_RFL8_SIG16_NIR16": lib.parse_rng19}.get(profile)
+          "RNG19_RFL8_SIG16_NIR16": lib.parse_rng19,
+          "RNG15_RFL8_NIR8": lib.parse_rng15,
+          "RNG19_RFL8_SIG16_NIR16_DUAL": lib.parse_dual,
+          "FUSA_RNG15_RFL8_NIR8_DUAL": lib.parse_fusa}.get(profile)
     if fn is None:
         return None
+    dual = fn in (lib.parse_dual, lib.parse_fusa)
     payloads = np.ascontiguousarray(payloads, np.uint8)
     n = payloads.shape[0]
     ncols = n * cpp
@@ -135,10 +150,16 @@ def parse_lidar(profile: str, payloads: np.ndarray, h: int, cpp: int):
         "signal": np.zeros((ncols, h), np.uint16),
         "nir": np.zeros((ncols, h), np.uint16),
     }
-    fn(payloads, n, payloads.shape[1], h, cpp,
-       out["timestamp"], out["measurement_id"], out["frame_id"],
-       out["status"], out["range_mm"], out["reflectivity"],
-       out["signal"], out["nir"])
+    args = [payloads, n, payloads.shape[1], h, cpp,
+            out["timestamp"], out["measurement_id"], out["frame_id"],
+            out["status"], out["range_mm"], out["reflectivity"],
+            out["signal"], out["nir"]]
+    if dual:
+        out["range2_mm"] = np.zeros((ncols, h), np.uint32)
+        out["reflectivity2"] = np.zeros((ncols, h), np.uint16)
+        out["signal2"] = np.zeros((ncols, h), np.uint16)
+        args += [out["range2_mm"], out["reflectivity2"], out["signal2"]]
+    fn(*args)
     return out
 
 

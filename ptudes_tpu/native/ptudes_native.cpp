@@ -223,6 +223,110 @@ void parse_rng19(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
     }
 }
 
+// Shared eUDP column walker: 32 B packet header (frame id u16 @2) +
+// cpp * (12 B column header + h*pixel_bytes), pixel decode per profile.
+// (templates can't live inside the extern "C" block)
+}  // extern "C"
+
+namespace {
+template <typename PixelFn>
+void parse_eudp(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
+                int32_t h, int32_t cpp, int32_t pixel_bytes,
+                uint64_t* ts, uint16_t* mid, uint16_t* fid,
+                uint8_t* status, PixelFn&& pixel) {
+    const int64_t col_bytes = 12 + (int64_t)h * pixel_bytes;
+    for (int64_t ip = 0; ip < n_pkts; ip++) {
+        const uint8_t* pkt = pkts + ip * pkt_stride;
+        uint16_t frame_id;
+        std::memcpy(&frame_id, pkt + 2, 2);
+        const uint8_t* body = pkt + 32;
+        for (int32_t c = 0; c < cpp; c++) {
+            const uint8_t* col = body + c * col_bytes;
+            int64_t oc = ip * cpp + c;
+            std::memcpy(&ts[oc], col, 8);
+            std::memcpy(&mid[oc], col + 8, 2);
+            uint16_t st;
+            std::memcpy(&st, col + 10, 2);
+            status[oc] = st & 0x1;
+            fid[oc] = frame_id;
+            const uint8_t* px = col + 12;
+            for (int32_t i = 0; i < h; i++)
+                pixel(oc, i, px + (int64_t)i * pixel_bytes);
+        }
+    }
+}
+}  // namespace
+
+extern "C" {
+
+// RNG15_RFL8_NIR8 low-bandwidth eUDP: 4 B/px — u16 range (x8 mm, scaled
+// to mm here like the numpy path), u8 refl, u8 nir; no signal field.
+void parse_rng15(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
+                 int32_t h, int32_t cpp,
+                 uint64_t* ts, uint16_t* mid, uint16_t* fid,
+                 uint8_t* status, uint32_t* range_mm,
+                 uint16_t* reflectivity, uint16_t* signal, uint16_t* nir) {
+    parse_eudp(pkts, n_pkts, pkt_stride, h, cpp, 4, ts, mid, fid, status,
+               [&](int64_t oc, int32_t i, const uint8_t* p) {
+        uint16_t raw;
+        std::memcpy(&raw, p, 2);
+        range_mm[oc * h + i] = (uint32_t)raw * 8u;
+        reflectivity[oc * h + i] = p[2];
+        signal[oc * h + i] = 0;
+        nir[oc * h + i] = p[3];
+    });
+}
+
+// RNG19_RFL8_SIG16_NIR16_DUAL: 16 B/px — [u32 range1(19b) | refl1 @3]
+// [u32 range2(19b) | refl2 @7] [u16 sig1 @8] [u16 sig2 @10] [u16 nir @12].
+void parse_dual(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
+                int32_t h, int32_t cpp,
+                uint64_t* ts, uint16_t* mid, uint16_t* fid,
+                uint8_t* status, uint32_t* range_mm,
+                uint16_t* reflectivity, uint16_t* signal, uint16_t* nir,
+                uint32_t* range2_mm, uint16_t* reflectivity2,
+                uint16_t* signal2) {
+    parse_eudp(pkts, n_pkts, pkt_stride, h, cpp, 16, ts, mid, fid, status,
+               [&](int64_t oc, int32_t i, const uint8_t* p) {
+        int64_t o = oc * h + i;
+        uint32_t w0, w1;
+        std::memcpy(&w0, p, 4);
+        std::memcpy(&w1, p + 4, 4);
+        range_mm[o] = w0 & 0x0007FFFFu;
+        reflectivity[o] = p[3];
+        range2_mm[o] = w1 & 0x0007FFFFu;
+        reflectivity2[o] = p[7];
+        std::memcpy(&signal[o], p + 8, 2);
+        std::memcpy(&signal2[o], p + 10, 2);
+        std::memcpy(&nir[o], p + 12, 2);
+    });
+}
+
+// FUSA_RNG15_RFL8_NIR8_DUAL: 8 B/px — two returns of
+// [u16 range(15b, x8 mm) | u8 refl | u8 nir-or-refl2]; no signal fields.
+void parse_fusa(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
+                int32_t h, int32_t cpp,
+                uint64_t* ts, uint16_t* mid, uint16_t* fid,
+                uint8_t* status, uint32_t* range_mm,
+                uint16_t* reflectivity, uint16_t* signal, uint16_t* nir,
+                uint32_t* range2_mm, uint16_t* reflectivity2,
+                uint16_t* signal2) {
+    parse_eudp(pkts, n_pkts, pkt_stride, h, cpp, 8, ts, mid, fid, status,
+               [&](int64_t oc, int32_t i, const uint8_t* p) {
+        int64_t o = oc * h + i;
+        uint16_t raw1, raw2;
+        std::memcpy(&raw1, p, 2);
+        std::memcpy(&raw2, p + 4, 2);
+        range_mm[o] = (uint32_t)(raw1 & 0x7FFF) * 8u;
+        reflectivity[o] = p[2];
+        nir[o] = p[3];
+        range2_mm[o] = (uint32_t)(raw2 & 0x7FFF) * 8u;
+        reflectivity2[o] = p[6];
+        signal[o] = 0;
+        signal2[o] = 0;
+    });
+}
+
 // IMU packets: 48 B — 3 x u64 ts + 3 x f32 accel(g) + 3 x f32 gyro(deg/s).
 // accel/gyro timestamps decoded too (offsets 8/16) so the native and numpy
 // paths return identical fields.

@@ -314,6 +314,52 @@ class TestNative:
         scans = sources.assemble_scans(info, cols)
         assert np.array_equal(scans.range_mm, truth)
 
+    def test_native_vs_numpy_all_eudp_profiles(self, monkeypatch):
+        """Differential decode over every eUDP profile incl. dual-return:
+        the C++ decoders and the forced-numpy fallback must agree on
+        every field, including the second return."""
+        from ptudes_tpu import native
+        if native.get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(3)
+        for profile in (meta_io.PROFILE_RNG19, meta_io.PROFILE_RNG15,
+                        meta_io.PROFILE_DUAL, meta_io.PROFILE_FUSA):
+            info = make_info(h=16, w=32, profile=profile)
+            cpp = info.columns_per_packet
+            bufs = []
+            for p in range(3):
+                ts = (np.arange(cpp) + 100 + p * cpp).astype(np.uint64)
+                mids = (np.arange(cpp) + p * cpp).astype(np.uint16)
+                bufs.append(pkt.make_eudp_packet(
+                    info, ts, mids, 9,
+                    rng.integers(0, 2**15, (cpp, 16)).astype(np.uint32) * 8,
+                    reflectivity=rng.integers(
+                        0, 255, (cpp, 16)).astype(np.uint16),
+                    signal=rng.integers(
+                        0, 65535, (cpp, 16)).astype(np.uint16),
+                    nir=rng.integers(0, 255, (cpp, 16)).astype(np.uint16),
+                    range2_mm=rng.integers(
+                        0, 2**15, (cpp, 16)).astype(np.uint32) * 8,
+                    reflectivity2=rng.integers(
+                        0, 255, (cpp, 16)).astype(np.uint16),
+                    signal2=rng.integers(
+                        0, 65535, (cpp, 16)).astype(np.uint16)))
+            arr = np.stack([np.frombuffer(b, np.uint8) for b in bufs])
+            nat_cols = pkt.parse_lidar_packets(info, arr)
+            monkeypatch.setattr(native, "parse_lidar",
+                                lambda *a, **k: None)
+            np_cols = pkt.parse_lidar_packets(info, arr)
+            monkeypatch.undo()
+            for f in ("timestamp", "measurement_id", "frame_id", "status",
+                      "range_mm", "reflectivity", "signal", "nir",
+                      "range2_mm", "reflectivity2", "signal2"):
+                a, b = getattr(nat_cols, f), getattr(np_cols, f)
+                if b is None:
+                    assert a is None, (profile, f)
+                else:
+                    np.testing.assert_array_equal(a, b,
+                                                  err_msg=f"{profile} {f}")
+
     def test_native_pcap_split(self, tmp_path):
         from ptudes_tpu import native
         if native.get_lib() is None:
