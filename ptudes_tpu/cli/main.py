@@ -351,12 +351,25 @@ def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
               help="With --online: replay pacing, 1.0 = sensor real time "
               "(reference OusterRawBagSource rate replay, "
               "src/ptudes/bag.py:63-75); 0 = as fast as possible")
+@click.option("--voxel-size", type=float, default=None,
+              help="Map voxel size in meters (default max_range/100, "
+              "kiss parity)")
+@click.option("--map-capacity", type=int, default=None,
+              help="Voxel hash slots (power of two; default 2^19). Size "
+              "to the sensor/scene — smaller tables compile and run "
+              "faster at low beam counts")
+@click.option("--max-source", type=int, default=None,
+              help="ICP source point capacity (default 8192)")
+@click.option("--max-frame", type=int, default=None,
+              help="Downsampled frame (map insert) capacity "
+              "(default 32768)")
 @click.option("-p", "--plot", type=str, default=None)
 def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
                    beams, loss, save_kitti_poses, save_nc_gt_poses,
                    save_map_ply, save_debug_scene, debug_scene_stride,
-                   save_state, resume_state, online, rate, plot):
+                   save_state, resume_state, online, rate, voxel_size,
+                   map_capacity, max_source, max_frame, plot):
     """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
     ES-EKF smoothing (reference ``ekf-bench ouster``,
     ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
@@ -384,10 +397,21 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
 
     guess = ("ekf" if use_imu_prediction
              else "gt" if use_gt_guess else "kiss")
+    cap_kw = {k: v for k, v in (("map_capacity", map_capacity),
+                                ("max_source", max_source),
+                                ("max_frame", max_frame)) if v}
+    # the scratch dedup tables scale with the raw point count, not the
+    # default 128-beam assumption — a custom map size implies the user is
+    # right-sizing for a smaller sensor
+    if map_capacity:
+        cap_kw["dedup_table"] = max(1 << 14, 1 << (
+            int(info.h * info.w - 1).bit_length() + 1))
+    if max_frame and max_frame < Capacity.max_new_per_scan:
+        cap_kw["max_new_per_scan"] = max_frame
     cfg = PipelineConfig(
         kiss=KissConfig(max_range=kiss_max_range, min_range=kiss_min_range,
-                        deskew=True, loss=loss),
-        cap=Capacity(max_points=info.h * info.w),
+                        deskew=True, loss=loss, voxel_size=voxel_size),
+        cap=Capacity(max_points=info.h * info.w, **cap_kw),
         ekf=EkfConfig(),
         guess=guess,
     )
