@@ -38,7 +38,20 @@ def _default_cache_dir() -> str:
     return _os.path.join(base, "ptudes_jax")
 
 
-_cache = _os.environ.get("PTUDES_COMPILE_CACHE", _default_cache_dir())
+def _cache_default_on() -> bool:
+    # XLA:CPU persists AOT-compiled machine code whose feature-set check
+    # is unreliable (the loader reports compile-machine features like
+    # +prefer-no-scatter as missing even on the SAME host and warns of
+    # possible SIGILL; crashes observed under the 8-device test mesh).
+    # TPU executables have no such issue and are where caching pays
+    # (25-60 s compiles), so: cache ON unless the process is pinned to
+    # the CPU platform; opt in explicitly with PTUDES_COMPILE_CACHE=<dir>.
+    return "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower()
+
+
+_cache = _os.environ.get("PTUDES_COMPILE_CACHE")
+if _cache is None:
+    _cache = _default_cache_dir() if _cache_default_on() else "off"
 if _cache.lower() not in ("off", "0", ""):
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -17,9 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
-# the persistent compilation cache segfaults (zstd write path) on the
-# large 8-device shard_map executables these tests compile; tests gain
-# little from it anyway — keep it off unless a test opts in
+# keep the persistent compilation cache off for tests: XLA:CPU caches
+# AOT machine code whose feature-compatibility check is unreliable (the
+# loader warns of possible SIGILL even same-host; ptudes_tpu/__init__.py
+# now defaults it off whenever JAX_PLATFORMS pins cpu, this is belt and
+# braces for test isolation)
 os.environ.setdefault("PTUDES_COMPILE_CACHE", "off")
 
 import jax  # noqa: E402
