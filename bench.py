@@ -200,9 +200,40 @@ def bench_replicas(scans, scan_ts, imu_ts, counts=(2,)):
     return out_rows
 
 
+def _device_watchdog(
+        timeout_s: float = float(
+            os.environ.get("PTUDES_BENCH_DEVICE_TIMEOUT", 600.0))):
+    """Fail loudly (instead of hanging forever) when the TPU tunnel is
+    down: jax.devices() through the axon relay blocks indefinitely
+    during pool outages. A daemon thread probes device acquisition and
+    hard-exits with a diagnostic if nothing answers within timeout."""
+    import threading
+
+    state = {"ok": False}
+
+    def probe():
+        import jax
+        jax.devices()
+        state["ok"] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+
+    def reaper():
+        t.join(timeout_s)
+        if not state["ok"]:
+            print(f"bench: no device answered within {timeout_s:.0f}s "
+                  "(TPU tunnel outage?) — aborting instead of hanging",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=reaper, daemon=True).start()
+
+
 def main():
     verbose = os.environ.get("PTUDES_BENCH_VERBOSE")
     t00 = time.monotonic()
+    _device_watchdog()
 
     def note(msg):
         if verbose:
