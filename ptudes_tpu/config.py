@@ -58,8 +58,11 @@ class KissConfig:
     # bounds sampling-noise random walk of the GN on self-similar geometry
     prior_rot_weight: float = 0.01
     prior_trans_weight: float = 0.01
-    # NN search neighborhood: 27 (full cube, kiss parity) or 7 (center +
-    # faces; ~4x fewer gather rows, negligible quality impact for ICP)
+    # NN search neighborhood: 27 (full cube, kiss parity), 7 (center +
+    # faces; ~4x fewer gather rows, negligible quality impact for ICP),
+    # or 4 (octant-directed: center + the 3 face neighbors on the
+    # query's sub-voxel side — the meta gather is row-serialized, so
+    # 4 rows/point is ~43% cheaper than 7 at near-identical recall)
     nn_neighborhood: int = 27
     # GN inner-loop backend for cached mode: "auto" picks the fused Pallas
     # kernel on TPU when shapes align, "jnp"/"pallas" force a choice;

@@ -101,9 +101,26 @@ def gather_candidates(
     from .voxel import voxel_coords
 
     qc = voxel_coords(pts_w, voxel_size)                      # [M, 3]
-    offsets = jnp.asarray(
-        hashmap._NEIGHBOR_OFFSETS[:neighborhood])             # [J, 3]
-    keys = qc[:, None, :] + offsets[None, :, :]               # [M, J, 3]
+    if neighborhood == 4:
+        # octant-directed: the query's sub-voxel position picks center +
+        # the 3 face neighbors on ITS side — the half-space where the
+        # true NN lives unless it is farther than the opposing face
+        # (> voxel_size/2 + eps away, already beyond typical 3*sigma).
+        # 4 meta rows/point instead of 7 (the gather is row-serialized).
+        frac = pts_w / voxel_size - qc.astype(pts_w.dtype)    # [M, 3] in [0,1)
+        side = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
+        zeros = jnp.zeros_like(side)
+        offsets = jnp.stack([
+            zeros,
+            jnp.stack([side[:, 0], zeros[:, 0], zeros[:, 0]], -1),
+            jnp.stack([zeros[:, 0], side[:, 1], zeros[:, 0]], -1),
+            jnp.stack([zeros[:, 0], zeros[:, 0], side[:, 2]], -1),
+        ], axis=1)                                            # [M, 4, 3]
+        keys = qc[:, None, :] + offsets
+    else:
+        offsets = jnp.asarray(
+            hashmap._NEIGHBOR_OFFSETS[:neighborhood])         # [J, 3]
+        keys = qc[:, None, :] + offsets[None, :, :]           # [M, J, 3]
     fp, h0 = hashmap._fingerprint_and_slot(keys, cap)         # [M, J]
 
     found_slot = jnp.full((mnum, neighborhood), cap, jnp.int32)

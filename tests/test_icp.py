@@ -100,3 +100,41 @@ def test_robust_kernel_rejects_outliers():
     res = register(src, m, np.eye(4), sigma=0.5)
     d = np.asarray(se3.log_pose(jnp.asarray(res.pose)))
     assert np.linalg.norm(d) < 0.02
+
+
+def test_octant_neighborhood_recall():
+    """neighborhood=4 (octant-directed) must surface the true NN whenever
+    the query sits within half a voxel of it — the regime ICP operates in
+    (sources are drawn from / near mapped surfaces)."""
+    import jax.numpy as jnp
+    from ptudes_tpu.ops import icp
+
+    rng = np.random.default_rng(19)
+    world = make_world(6000)
+    m = build_map(world)
+    idx = rng.choice(len(world), 512, replace=False)
+    queries = world[idx] + rng.uniform(-0.2, 0.2, (512, 3)).astype(
+        np.float32) * VS
+    qj = jnp.asarray(queries)
+
+    def nn_d2(cand):
+        d2 = jnp.sum((cand.pts - qj[:, None, :]) ** 2, axis=-1)
+        return np.asarray(jnp.min(
+            jnp.where(cand.valid, d2, jnp.inf), axis=-1))
+
+    d4 = nn_d2(icp.gather_candidates(
+        m, qj, voxel_size=VS, max_probes=2, neighborhood=4, n_voxels=4,
+        fit_planes=False))
+    d7 = nn_d2(icp.gather_candidates(
+        m, qj, voxel_size=VS, max_probes=2, neighborhood=7, n_voxels=4,
+        fit_planes=False))
+    # near-identical NN vs the 7-face mode the pipelines run (98.6%
+    # measured; where they differ the octant set is often BETTER — it
+    # skips the lossy top-4-of-7 rep-distance ranking). The 7-vs-27 gap
+    # is larger (~88%) and was already accepted at equal ATE.
+    same = np.isclose(d4, d7, rtol=1e-5, atol=1e-7) | (
+        ~np.isfinite(d4) & ~np.isfinite(d7))
+    assert same.mean() > 0.97, same.mean()
+    # a handful of queries may land where all 4 octant voxels are empty
+    # (ICP masks not-found); the overwhelming majority must resolve
+    assert np.isfinite(d4).mean() > 0.99
