@@ -496,7 +496,8 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         print(f"NC GT poses saved to: {save_nc_gt_poses}")
     if save_map_ply:
         from ..viz.cloud import map_to_points, save_ply
-        save_ply(save_map_ply, map_to_points(fin.kiss.local_map))
+        save_ply(save_map_ply, map_to_points(
+            fin.kiss.local_map, cfg.kiss.resolved_voxel_size))
         print(f"Local map saved to: {save_map_ply}")
     if save_state:
         from ..utils.checkpoint import save_state as _save_state

@@ -148,21 +148,26 @@ def gather_candidates(
     # [M]-row gather measured), while a [M, J] compare+reduce is pure
     # VPU work; this loop had 3 such gathers per V step
     jidx = jnp.arange(neighborhood, dtype=jnp.int32)[None, :]
-    sel_slot, sel_cnt, sel_ok = [], [], []
+    sel_slot, sel_cnt, sel_ok, sel_rep = [], [], [], []
     d = rep_d2
     for _ in range(n_voxels):
         j = jnp.argmin(d, axis=-1)                            # [M]
         oneh = (jidx == j[:, None])                           # [M, J]
         sel_slot.append(jnp.sum(found_slot * oneh, axis=-1))
         sel_cnt.append(jnp.sum(cnt * oneh, axis=-1))
+        sel_rep.append(jnp.sum(rep * oneh[..., None], axis=1))
         sel_ok.append(jnp.isfinite(
             jnp.sum(jnp.where(oneh, d, 0.0), axis=-1)))
         d = jnp.where(oneh, jnp.inf, d)
     slot_v = jnp.stack(sel_slot, axis=1)                      # [M, V]
     cnt_v = jnp.where(jnp.stack(sel_ok, 1), jnp.stack(sel_cnt, 1), 0)
+    rep_v = jnp.stack(sel_rep, axis=1)                        # [M, V, 3]
 
-    vox_pts = vmap_.points.at[slot_v].get(
-        mode="fill", fill_value=0.0)                          # [M, V, P, 3]
+    packed = vmap_.points.at[slot_v].get(
+        mode="fill", fill_value=0)                            # [M, V, P]
+    from .voxel import voxel_coords as _vc
+    vox_pts = hashmap.unpack_points(
+        packed, _vc(rep_v, voxel_size)[:, :, None, :], voxel_size)
     valid = (jnp.arange(ppv, dtype=jnp.int32)[None, None, :]
              < cnt_v[:, :, None])                             # [M, V, P]
     cpts = vox_pts.reshape(mnum, n_voxels * ppv, 3)
@@ -522,8 +527,13 @@ def register_frame(
         r_vec = pts_w - res.nn                               # [N, 3]
 
         if loss == "plane":
-            vox_pts = vmap_.points.at[res.slot].get(
-                mode="fill", fill_value=0.0)                 # [N, P, 3]
+            packed = vmap_.points.at[res.slot].get(
+                mode="fill", fill_value=0)                   # [N, P]
+            # res.nn lives in the winning voxel -> its floor recovers the
+            # voxel coordinate needed to decode the packed point list
+            from .voxel import voxel_coords as _vc
+            vox_pts = hashmap.unpack_points(
+                packed, _vc(res.nn, voxel_size)[:, None, :], voxel_size)
             cnt = vmap_.meta.at[res.slot, 1].get(mode="fill", fill_value=0)
             normal, centroid, quality = voxel_plane(vox_pts, cnt)
             use_plane = corr & (quality >= plane_min_quality)

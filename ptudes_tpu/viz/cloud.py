@@ -110,11 +110,15 @@ def load_ply(path: str) -> np.ndarray:
         return np.frombuffer(f.read(), "<f4", count=n * 3).reshape(n, 3).copy()
 
 
-def map_to_points(vmap_) -> np.ndarray:
+def map_to_points(vmap_, voxel_size: float) -> np.ndarray:
     """Extract all stored points of a VoxelHashMap (reference
-    ``local_map_points``, ``src/ptudes/kiss.py:160-161``)."""
+    ``local_map_points``, ``src/ptudes/kiss.py:160-161``). Points are
+    stored voxel-quantized (ops.hashmap.pack_points); decode via each
+    slot's full-precision representative."""
+    from ..ops import hashmap
+
     counts = np.asarray(vmap_.counts)
-    pts = np.asarray(vmap_.points)
+    pts = np.asarray(hashmap.stored_points(vmap_, voxel_size))
     ppv = pts.shape[1]
     mask = np.arange(ppv)[None, :] < counts[:, None]
     return pts[mask]

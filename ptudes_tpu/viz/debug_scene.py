@@ -159,7 +159,8 @@ def export_debug_scenes(
 
         if i % map_stride == 0:
             save_ply(os.path.join(out_dir, f"knot_{i:04d}_map.ply"),
-                     map_to_points(state.kiss.local_map))
+                     map_to_points(state.kiss.local_map,
+                                   cfg.kiss.resolved_voxel_size))
 
         meta = {
             "knot": i,

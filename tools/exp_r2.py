@@ -41,6 +41,9 @@ def main():
         ("fused+new8192+decim", replace(fused,
             cap=replace(fused.cap, max_new_per_scan=8192),
             steady_insert_mode=False)),
+        ("fused+new8192+nn4", replace(fused,
+            kiss=replace(fused.kiss, nn_neighborhood=4),
+            cap=replace(fused.cap, max_new_per_scan=8192))),
     ]
     for name, cfg in variants:
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)

@@ -114,8 +114,8 @@ def main():
     slot_v = some[:mnum * nvox].reshape(mnum, nvox).astype(jnp.int32)
 
     def pts_gather(s_):
-        vox_pts = m.points.at[slot_v].get(mode="fill", fill_value=0.0)
-        return s_ + vox_pts[0, 0, 0] * 1e-12
+        vox_pts = m.points.at[slot_v].get(mode="fill", fill_value=0)
+        return s_ + vox_pts[0, 0].astype(jnp.float32) * 1e-12
     t = timeit_looped(pts_gather, source_w)
     print(f"  points gather [M,V,P,3]: {t:7.3f} ms")
 

@@ -72,7 +72,7 @@ def insert_ablated(m, pts, mask, *, voxel_size, max_probes, ablate=frozenset()):
         points = m.points
     else:
         points = m.points.at[tgt_slot, jnp.where(accept, write_pos, 0)].set(
-            pts, mode="drop")
+            hashmap.pack_points(pts, coords, voxel_size), mode="drop")
     counts = counts.at[tgt_slot].add(accept.astype(jnp.int32), mode="drop")
     rep_tgt = jnp.where(accept & (write_pos == 0), slot, cap)
     pts_i32 = jax.lax.bitcast_convert_type(pts, jnp.int32)
