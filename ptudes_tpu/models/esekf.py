@@ -112,7 +112,7 @@ def _set_blk(m: jax.Array, i: int, j: int, b: jax.Array) -> jax.Array:
     return m.at[i:i + 3, j:j + 3].set(b)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, inline=True, static_argnames=("cfg",))
 def process_imu(s: EkfState, imu: Imu, *, cfg: EkfConfig) -> EkfState:
     """EKF predict (reference ``processImu`` + ``_insMech``,
     ``src/ptudes/ins/es_ekf.py:191-257``). The first sample only latches the
@@ -179,7 +179,7 @@ def default_meas_cov(cfg: EkfConfig) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, inline=True, static_argnames=("cfg",))
 def process_pose(
     s: EkfState,
     pose_meas: jax.Array,              # [4, 4]
@@ -264,7 +264,7 @@ class FilterLog(NamedTuple):
     updated: jax.Array    # [T] bool — pose correction applied at this step
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, inline=True, static_argnames=("cfg",))
 def run_filter(
     s: EkfState,
     imus: Imu,             # stacked [T]
@@ -294,7 +294,7 @@ def run_filter(
     return jax.lax.scan(step, s, (imus, corr_mask, corr_poses))
 
 
-@partial(jax.jit, static_argnames=("cfg", "log"))
+@partial(jax.jit, inline=True, static_argnames=("cfg", "log"))
 def process_imu_batch(
     s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig,
     log: bool = False,

@@ -89,7 +89,8 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "cap", "use_guess", "grid_hw",
+@partial(jax.jit, inline=True,
+         static_argnames=("cfg", "cap", "use_guess", "grid_hw",
                                    "insert_overflow", "axis_name"))
 def register_scan(
     state: KissState,

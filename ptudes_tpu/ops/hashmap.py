@@ -171,7 +171,8 @@ def is_empty(m: VoxelHashMap) -> jax.Array:
     return num_points(m) == 0
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "max_probes"))
+@partial(jax.jit, inline=True,
+         static_argnames=("voxel_size", "max_probes"))
 def insert(
     m: VoxelHashMap,
     pts: jax.Array,          # [N, 3]
@@ -252,7 +253,7 @@ def insert(
     return VoxelHashMap(meta=meta, points=points)
 
 
-@partial(jax.jit,
+@partial(jax.jit, inline=True,
          static_argnames=("voxel_size", "max_probes", "new_capacity",
                           "overflow"))
 def insert_deduped(
@@ -572,7 +573,7 @@ def query(
         jnp.where(ok[:, None], best_nn, 0.0), best_d2, ok, win_slot)
 
 
-@jax.jit
+@partial(jax.jit, inline=True)
 def remove_far(
     m: VoxelHashMap, origin: jax.Array, max_range2: jax.Array
 ) -> VoxelHashMap:

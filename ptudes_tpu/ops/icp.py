@@ -265,6 +265,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
@@ -473,6 +474,7 @@ def register_frame_cached(
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "voxel_size", "max_probes", "max_iterations", "approx", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",

@@ -150,7 +150,7 @@ def _moments_kernel(pt_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
     out_ref[:] = jnp.concatenate(sums, axis=0)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, inline=True, static_argnames=("interpret",))
 def plane_moments_pallas(
     ptq: jax.Array,     # [8, N] rows 0-2: query points (gather pose)
     cx: jax.Array,      # [C, N] lane-major candidate coords
@@ -292,7 +292,8 @@ def prep_candidates(cand, source_mask, *, loss: str = "plane"
     )
 
 
-@partial(jax.jit, static_argnames=("plane_min_quality", "interpret"))
+@partial(jax.jit, inline=True,
+         static_argnames=("plane_min_quality", "interpret"))
 def gn_prepped_pallas(
     t_cur: jax.Array,         # [4, 4]
     source: jax.Array,        # [N, 3]
@@ -388,7 +389,8 @@ def gn_prepped_pallas(
             acc[_N_CORR].astype(jnp.int32), acc[_TOT_W])
 
 
-@partial(jax.jit, static_argnames=("loss", "plane_min_quality", "interpret"))
+@partial(jax.jit, inline=True,
+         static_argnames=("loss", "plane_min_quality", "interpret"))
 def gn_from_candidates_pallas(
     t_cur, source, source_mask, cand, kernel, max_d2, *,
     loss: str = "plane", plane_min_quality: float = 0.2,

@@ -354,7 +354,7 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=(
+@partial(jax.jit, inline=True, static_argnames=(
     "plane_min_quality", "max_iterations",
     "prior_rot_weight", "prior_trans_weight", "interpret"))
 def icp_loop_pallas(
