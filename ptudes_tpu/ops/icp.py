@@ -377,6 +377,8 @@ def register_frame_cached(
         cand0 = fetch(guess)
 
     if gn_backend == "fused":
+        import os
+
         from .pallas_icp import icp_loop_pallas
         pose, n_corr, iters = icp_loop_pallas(
             source, prepped0, guess, kernel, max_d2, convergence,
@@ -384,6 +386,9 @@ def register_frame_cached(
             max_iterations=max_iterations,
             prior_rot_weight=prior_rot_weight,
             prior_trans_weight=prior_trans_weight,
+            # escape hatch if Mosaic rejects the scalar while_loop:
+            # PTUDES_ICP_LOOP_MODE=fori_cond (bit-identical result)
+            loop_mode=os.environ.get("PTUDES_ICP_LOOP_MODE", "while"),
             interpret=(jax.default_backend() != "tpu"))
         return IcpResult(pose=pose, num_corr=n_corr, iterations=iters)
 

@@ -197,7 +197,8 @@ def _log_pose_scalars(r, t):
     return (wx, wy, wz, vx, vy, vz)
 
 
-def _make_loop_kernel(max_iterations: int, use_prior: bool):
+def _make_loop_kernel(max_iterations: int, use_prior: bool,
+                      loop_mode: str = "while"):
     def kernel(src_ref, f_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
                out_ref):
         kern = scal_ref[0, _S_KERN]
@@ -345,7 +346,17 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool):
                       for k in (0, 1, 2, 4, 5, 6, 8, 9, 10, 3, 7, 11))
         init = (pose0, jnp.asarray(False), jnp.float32(0.0),
                 jnp.int32(0))
-        pose, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
+        if loop_mode == "while":
+            pose, _, n_corr, iters = jax.lax.while_loop(cond, body, init)
+        else:
+            # fori + per-step cond skip: same early-exit economics (the
+            # untaken branch skips the vector body) using only the
+            # control-flow primitives the Pallas guide lists explicitly
+            def fbody(_, carry):
+                return jax.lax.cond(carry[1], lambda c: c, body, carry)
+
+            pose, _, n_corr, iters = jax.lax.fori_loop(
+                0, max_iterations, fbody, init)
         for k, sk in enumerate((0, 1, 2, 4, 5, 6, 8, 9, 10, 3, 7, 11)):
             out_ref[0, sk] = pose[k]
         out_ref[0, _O_NCORR] = n_corr
@@ -356,7 +367,7 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool):
 
 @partial(jax.jit, inline=True, static_argnames=(
     "plane_min_quality", "max_iterations",
-    "prior_rot_weight", "prior_trans_weight", "interpret"))
+    "prior_rot_weight", "prior_trans_weight", "loop_mode", "interpret"))
 def icp_loop_pallas(
     source: jax.Array,        # [N, 3] source points (body frame)
     prepped,                  # pallas_gn.PreppedCandidates
@@ -369,6 +380,7 @@ def icp_loop_pallas(
     max_iterations: int = 50,
     prior_rot_weight: float = 0.0,
     prior_trans_weight: float = 0.0,
+    loop_mode: str = "while",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Run the whole frozen-candidate GN ICP in one kernel launch.
@@ -399,9 +411,11 @@ def icp_loop_pallas(
     scal = scal.at[0, _S_POSE_INV:_S_POSE_INV + 12].set(
         ginv[:3].reshape(12))
 
+    assert loop_mode in ("while", "fori_cond")
     kern_fn = _make_loop_kernel(
         max_iterations,
-        use_prior=(prior_rot_weight > 0.0 or prior_trans_weight > 0.0))
+        use_prior=(prior_rot_weight > 0.0 or prior_trans_weight > 0.0),
+        loop_mode=loop_mode)
     out = pl.pallas_call(
         kern_fn,
         in_specs=[
