@@ -67,3 +67,18 @@ def test_fused_loop_converges_to_truth():
     d = np.asarray(se3.log_pose(res.pose))
     assert np.linalg.norm(d) < 0.02
     assert int(res.iterations) < 30
+
+
+def test_fused_loop_empty_map_returns_guess():
+    import jax.numpy as jnp
+    from ptudes_tpu.ops import hashmap
+
+    m, src, mask, guess = _setup()
+    empty = hashmap.create(1 << 14, 8)
+    res = _run("fused", empty, src, mask, guess, "plane", priors=(0.0, 0.0))
+    # Tikhonov-floored solve on zero correspondences -> dx = 0 -> the
+    # initial guess comes back after one masked iteration (kiss parity:
+    # first frame registers at the guess)
+    np.testing.assert_allclose(np.asarray(res.pose), np.asarray(guess),
+                               atol=1e-6)
+    assert int(res.num_corr) == 0
