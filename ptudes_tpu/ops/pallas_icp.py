@@ -154,6 +154,18 @@ def _compose_scalars(ra, ta, rb, tb):
     return r, t
 
 
+def _acos_scalar(c):
+    """arccos for Mosaic (no acos/atan lowering on TPU Pallas): Newton
+    inversion of cos seeded with the half-angle identity
+    ``theta0 = sqrt(2 (1 - c))`` (exact to O(theta^3)/24). Two steps reach
+    f32 machine precision for theta < ~2 rad; degrades near pi where
+    sin -> 0, which ICP refinement poses never approach."""
+    x = jnp.sqrt(jnp.maximum(2.0 * (1.0 - c), 0.0))
+    for _ in range(2):
+        x = x + (jnp.cos(x) - c) / jnp.maximum(jnp.sin(x), _EPS)
+    return x
+
+
 def _log_pose_scalars(r, t):
     """SE(3) log as 6 scalars. Direct axis-angle formula (NOT the
     quaternion path geom.so3.log_rotmat uses): stable for |rot| << pi,
@@ -161,7 +173,7 @@ def _log_pose_scalars(r, t):
     r00, r01, r02, r10, r11, r12, r20, r21, r22 = r
     tr = r00 + r11 + r22
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    theta = _acos_scalar(cos_t)
     t2 = theta * theta
     small = theta < 1e-4
     sin_t = jnp.sin(theta)
