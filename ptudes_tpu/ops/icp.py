@@ -331,9 +331,17 @@ def register_frame_cached(
     assert loss in ("point", "plane")
     if gn_backend == "auto":
         from .pallas_gn import BLK
-        gn_backend = (
-            "pallas" if (jax.default_backend() == "tpu"
-                         and source.shape[0] % BLK == 0) else "jnp")
+        if jax.default_backend() == "tpu" and source.shape[0] % BLK == 0:
+            # whole-loop fused kernel when eligible: measured 294 vs 253
+            # scans/s on the full bench pipeline (2026-08-19, TPU v5
+            # lite) and 1007 vs 1583 us/registration standalone, at
+            # equal ATE; it cannot psum (point sharding) and requires
+            # frozen candidates
+            gn_backend = ("fused" if (axis_name is None
+                                      and refresh_drift == 0.0)
+                          else "pallas")
+        else:
+            gn_backend = "jnp"
     if gn_backend == "fused":
         assert axis_name is None, (
             "fused backend cannot psum inside the kernel loop; use "

@@ -10,7 +10,7 @@ Variants over bench_config():
     both;
   * the combination, and the decimate steady mode on top.
 
-Usage: python tools/exp_r2.py
+Usage: python tools/exp_r2.py [variant ...]   (default: all)
 """
 import os
 import sys
@@ -44,8 +44,17 @@ def main():
         ("fused+new8192+nn4", replace(fused,
             kiss=replace(fused.kiss, nn_neighborhood=4),
             cap=replace(fused.cap, max_new_per_scan=8192))),
+        # measured (2026-08-19): new8192 REGRESSES (253->234 base,
+        # 294->263 fused) — the one-wide-chunk insert loses to the cond
+        # steady mode at these occupancies; nn4/decim ride plain fused.
+        ("fused+nn4", replace(fused,
+            kiss=replace(fused.kiss, nn_neighborhood=4))),
+        ("fused+decim", replace(fused, steady_insert_mode=False)),
     ]
+    want = set(sys.argv[1:])
     for name, cfg in variants:
+        if want and name not in want:
+            continue
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
 
 
