@@ -82,8 +82,9 @@ def bench_config():
         # 4096 (scan-order-unbiased), halving the per-iteration GN width
         # and the candidate gathers (+5.5% measured at ATE parity).
         # Insert runs the default exact steady mode ("cond"); the
-        # decimate steady mode reaches 225 scans/s at ATE 0.0256 on this
-        # frontier-heavy scene (speed knob, not default).
+        # decimate steady mode trades ATE for speed on this
+        # frontier-heavy scene (312.4 scans/s at ATE 0.0190 in the
+        # round-2 matrix — see docs/PERF.md; speed knob, not default).
         cap=Capacity(max_points=H * W, max_frame=32768, max_source=4096,
                      map_capacity=1 << 19, dedup_table=1 << 18,
                      max_new_per_scan=4096, max_probes=1),

@@ -6,8 +6,9 @@ Variants over bench_config():
   * max_new_per_scan=8192 — on the frontier-heavy bench scene every scan
     overflows the 4096 budget, so the exact "cond" steady insert still
     pays one fori trip (~0.45 ms carry boundary) plus a second 4096-row
-    claim+scatter (~0.2 ms); one 8192-wide chunk (~0.38 ms) should beat
-    both;
+    claim+scatter (~0.2 ms); one 8192-wide chunk (~0.38 ms) was predicted
+    to beat both — MEASURED TO REGRESS (253->234 base, 294->263 fused;
+    see the note in the variants list below);
   * the combination, and the decimate steady mode on top.
 
 Usage: python tools/exp_r2.py [variant ...]   (default: all)
@@ -52,6 +53,11 @@ def main():
         ("fused+decim", replace(fused, steady_insert_mode=False)),
     ]
     want = set(sys.argv[1:])
+    known = {name for name, _ in variants}
+    unknown = want - known
+    if unknown:
+        sys.exit(f"unknown variant(s): {sorted(unknown)}; "
+                 f"valid names: {sorted(known)}")
     for name, cfg in variants:
         if want and name not in want:
             continue
