@@ -44,6 +44,16 @@ class KissState(NamedTuple):
     num_scans: jax.Array       # int32 processed scans
 
 
+class DeferredInsert(NamedTuple):
+    """Map-update payload returned by ``register_scan(defer_insert=True)``
+    — everything the batched-replica driver (``parallel.batched``) needs to
+    run the insert+evict OUTSIDE the vmap as flat unbatched scatters."""
+    frame_w: jax.Array   # [F, 3] world-frame map-insert candidates
+    mask: jax.Array      # [F] bool (already gated by update_ok)
+    origin: jax.Array    # [3] eviction center (new pose translation)
+    evict_r2: jax.Array  # [] squared eviction radius (inf when gated off)
+
+
 class KissAux(NamedTuple):
     """Per-scan diagnostics, mirroring the reference's innovation logging
     (``src/ptudes/kiss.py:116-124``)."""
@@ -91,7 +101,7 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
 
 @partial(jax.jit, inline=True,
          static_argnames=("cfg", "cap", "use_guess", "grid_hw",
-                                   "insert_overflow", "axis_name"))
+                          "insert_overflow", "axis_name", "defer_insert"))
 def register_scan(
     state: KissState,
     pts: jax.Array,        # [N, 3] points in the sensor/nav frame
@@ -107,6 +117,7 @@ def register_scan(
     grid_hw: tuple[int, int] | None = None,
     insert_overflow: bool | str = True,
     axis_name: str | None = None,
+    defer_insert: bool = False,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
@@ -268,23 +279,33 @@ def register_scan(
     ok = (jnp.asarray(True) if update_ok is None
           else update_ok.astype(bool))
     frame_w = se3.transform(new_pose, frame_ds)
-    # bootstrap (overflow=True) body: insert the whole frame as ONE chunk
-    # instead of ceil(frame/max_new) fori trips — the chunk loop carries
-    # the full map state per trip and cost 22.7 ms on the first scan at
-    # bench shapes (~9% of a 50-scan run, measured via profile_trace);
-    # the one-shot claim+scatter at frame width costs ~1.5 ms. "cond" and
-    # False are the steady-body modes (see hashmap.insert_deduped).
-    local_map = hashmap.insert_deduped(
-        state.local_map, frame_w, frame_mask & ok,
-        voxel_size=vs, max_probes=cap.max_probes,
-        new_capacity=(cap.max_frame if insert_overflow is True
-                      else cap.max_new_per_scan),
-        overflow=insert_overflow,
-    )
-    local_map = hashmap.remove_far(
-        local_map, se3.trans(new_pose),
-        jnp.where(ok, jnp.asarray(cfg.max_range**2, jnp.float32), jnp.inf),
-    )
+    evict_r2 = jnp.where(
+        ok, jnp.asarray(cfg.max_range**2, jnp.float32), jnp.inf)
+    if defer_insert:
+        # batched-replica mode: the caller (parallel.batched) runs the
+        # insert+evict OUTSIDE the vmap as flat unbatched scatters —
+        # vmapped scatters serialize ~5x worse per element (docs/PERF.md)
+        local_map = state.local_map
+        deferred = DeferredInsert(frame_w=frame_w, mask=frame_mask & ok,
+                                  origin=se3.trans(new_pose),
+                                  evict_r2=evict_r2)
+    else:
+        # bootstrap (overflow=True) body: insert the whole frame as ONE
+        # chunk instead of ceil(frame/max_new) fori trips — the chunk loop
+        # carries the full map state per trip and cost 22.7 ms on the
+        # first scan at bench shapes (~9% of a 50-scan run, measured via
+        # profile_trace); the one-shot claim+scatter at frame width costs
+        # ~1.5 ms. "cond" and False are the steady-body modes (see
+        # hashmap.insert_deduped).
+        local_map = hashmap.insert_deduped(
+            state.local_map, frame_w, frame_mask & ok,
+            voxel_size=vs, max_probes=cap.max_probes,
+            new_capacity=(cap.max_frame if insert_overflow is True
+                          else cap.max_new_per_scan),
+            overflow=insert_overflow,
+        )
+        local_map = hashmap.remove_far(
+            local_map, se3.trans(new_pose), evict_r2)
 
     def gate(new, old):
         return jnp.where(ok, new, old)
@@ -304,8 +325,12 @@ def register_scan(
         num_corr=res.num_corr,
         iterations=res.iterations,
         source_count=jnp.sum(source_mask.astype(jnp.int32)),
+        # defer_insert: pre-insert count; the batched driver overwrites
+        # this with the post-insert value after the flat insert
         map_points=hashmap.num_points(local_map),
     )
+    if defer_insert:
+        return new_state, new_pose, aux, deferred
     return new_state, new_pose, aux
 
 

@@ -81,7 +81,8 @@ def init_state(cfg: PipelineConfig,
 
 def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
                    insert_overflow: bool | str = True, log: bool = False,
-                   axis_name: str | None = None):
+                   axis_name: str | None = None,
+                   defer_insert: bool = False):
     """Build the jittable scan_step closure over the projection LUT.
 
     ``insert_overflow=False`` builds the STEADY-state body: the map insert
@@ -100,7 +101,12 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
     ``axis_name``: build the step for use inside ``shard_map`` with ICP
     points sharded over the named mesh axis (see
     ``kiss.register_scan``) — the SAME step otherwise, so the sharded
-    pipeline honors every config knob the single-device one does."""
+    pipeline honors every config knob the single-device one does.
+
+    ``defer_insert``: skip the map insert/evict and return
+    ``(state, (out, kiss.DeferredInsert))`` instead of ``(state, out)`` —
+    the batched-replica driver (``parallel.batched``) vmaps this step and
+    runs the map update itself as flat unbatched scatters."""
 
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
@@ -143,12 +149,17 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
         # carried map through a select every scan (0.45 ms/scan measured)
         has_imu = jnp.any(batch.imu_valid)
         h, w, _ = lut.direction.shape
-        kiss1, pose, aux = kiss.register_scan(
+        reg = kiss.register_scan(
             state.kiss, pts, mask, ts01, cfg=cfg.kiss, cap=cfg.cap,
             initial_guess=guess, use_guess=use_guess,
             deskew_twist=deskew_twist, update_ok=has_imu,
             grid_hw=(h, w // cfg.col_decimation),
-            insert_overflow=insert_overflow, axis_name=axis_name)
+            insert_overflow=insert_overflow, axis_name=axis_name,
+            defer_insert=defer_insert)
+        if defer_insert:
+            kiss1, pose, aux, deferred = reg
+        else:
+            kiss1, pose, aux = reg
 
         # 4. EKF update with the ICP pose (ekf_bench.py:555); small-state
         #    select only (18x18 cov + vectors)
@@ -196,6 +207,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             aux=aux,
             flog=flog,
         )
+        if defer_insert:
+            return out_state, (out, deferred)
         return out_state, out
 
     return scan_step

@@ -255,7 +255,7 @@ def insert(
 
 @partial(jax.jit, inline=True,
          static_argnames=("voxel_size", "max_probes", "new_capacity",
-                          "overflow"))
+                          "overflow", "logical_capacity", "batch_rows"))
 def insert_deduped(
     m: VoxelHashMap,
     pts: jax.Array,          # [N, 3] — MUST be deduped at voxel_size/2
@@ -265,6 +265,9 @@ def insert_deduped(
     max_probes: int = 2,
     new_capacity: int = 8192,
     overflow: bool | str = True,
+    slot_base: jax.Array | None = None,  # [N] int32 per-point slot offset
+    logical_capacity: int | None = None,
+    batch_rows: int | None = None,
 ) -> VoxelHashMap:
     """Occupancy-deduped insert for sub-voxel-unique batches.
 
@@ -290,10 +293,23 @@ def insert_deduped(
     spatial constraint inside the voxel; the octant rule stores a strictly
     better-spread subset (>= 1 point per occupied half-resolution cell),
     which is what the NN search and plane fits actually consume.
+
+    Batched-replica mode (``slot_base``/``logical_capacity``/``batch_rows``;
+    see :func:`insert_deduped_batched`): the table holds B independent maps
+    in disjoint slot ranges ``[b*logical_capacity, (b+1)*logical_capacity)``
+    and every probe adds the point's ``slot_base``. All scatters stay
+    UNBATCHED single ops over the flat table — ``vmap``ping this insert
+    instead lowers to batched scatters that serialize ~5x worse per element
+    on TPU (the round-2 replica collapse, docs/PERF.md).
     """
-    cap = m.meta.shape[0]
+    cap_total = m.meta.shape[0]
+    cap = cap_total if logical_capacity is None else logical_capacity
     ppv = m.points.shape[1]
     assert ppv >= 8, "insert_deduped stores up to 8 octant points per voxel"
+    assert cap & (cap - 1) == 0 and cap_total % cap == 0
+
+    def at_base(s, base):
+        return s if base is None else base + s
 
     coords = voxel_coords(pts, voxel_size)
     sub = voxel_coords(pts, 0.5 * voxel_size) - 2 * coords   # [N,3] in {0,1}
@@ -302,12 +318,12 @@ def insert_deduped(
 
     # --- phase A at full width: one meta-row gather per probe gives
     # fingerprint + occupancy together
-    slot = jnp.full((pts.shape[0],), cap, jnp.int32)
+    slot = jnp.full((pts.shape[0],), cap_total, jnp.int32)
     occ = jnp.zeros((pts.shape[0],), jnp.int32)
     found = jnp.zeros((pts.shape[0],), bool)
     free_seen = jnp.zeros((pts.shape[0],), bool)
     for r in range(max_probes):
-        s = (h0 + r) & (cap - 1)
+        s = at_base((h0 + r) & (cap - 1), slot_base)
         rows = m.meta.at[s].get(mode="fill", fill_value=0)   # [N, 8]
         match = (rows[:, 0] == fp) & ~found
         slot = jnp.where(match, s, slot)
@@ -323,20 +339,45 @@ def insert_deduped(
     # (with max_probes=1 at ~6% load that is ~6% of every frame).
     is_new = mask & jnp.where(
         found, ~((occ >> sub_id) & 1).astype(bool), free_seen)
-    new_pos = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_new = jnp.sum(is_new.astype(jnp.int32))
+    if batch_rows is not None and batch_rows > 1:
+        # batched-replica mode: chunk budget, decimation and chunk
+        # MEMBERSHIP are all per replica — flat chunk c then contains
+        # exactly the points each replica's own chunk c would, so claim
+        # rounds see the same intra-replica contenders in the same order
+        # and the stored content matches B independent inserts exactly
+        # (flat-position chunking instead shifts probe-chain interactions
+        # across chunk boundaries and diverges at high load factors)
+        per = new_capacity // batch_rows
+        nb = is_new.reshape(batch_rows, -1)
+        pos_b = jnp.cumsum(nb.astype(jnp.int32), axis=1) - 1
+        if overflow is False:
+            # per-replica even decimation (the single-sequence rule)
+            assert nb.shape[1] * per < 2**31
+            n_b = jnp.maximum(pos_b[:, -1:] + 1, 1)
+            nb = nb & ((pos_b * per) % n_b < per)
+            is_new = nb.reshape(-1)
+            pos_b = jnp.cumsum(nb.astype(jnp.int32), axis=1) - 1
+        new_pos = pos_b.reshape(-1)          # per-replica position
+        chunk_den = per                       # chunk c: pos in [c*per, ...)
+        n_new = jnp.max(pos_b[:, -1]) + 1     # chunk trips = worst replica
+    else:
+        new_pos = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        chunk_den = new_capacity
+        n_new = jnp.sum(is_new.astype(jnp.int32))
 
     from .voxel import compact_with_payload
     payload = jnp.stack(
-        [slot, found.astype(jnp.int32)], axis=1)             # [N, 2]
+        [slot, found.astype(jnp.int32)]
+        + ([] if slot_base is None else [slot_base]), axis=1)  # [N, 2|3]
 
     def insert_chunk(state, chunk_mask):
         """Claim + write one compacted chunk of new points."""
         fps, counts, occ_col, reps_i32, points = state
         cpts, cpay, cmask = compact_with_payload(
             pts, payload, chunk_mask, new_capacity)
-        cslot = jnp.where(cmask, cpay[:, 0], cap)
+        cslot = jnp.where(cmask, cpay[:, 0], cap_total)
         cfound = cmask & (cpay[:, 1] > 0)
+        cbase = None if slot_base is None else cpay[:, 2]
 
         ccoords = voxel_coords(cpts, voxel_size)
         csub = voxel_coords(cpts, 0.5 * voxel_size) - 2 * ccoords
@@ -348,24 +389,24 @@ def insert_deduped(
         # claim rounds for points whose voxel doesn't exist yet
         resolved = ~cmask | cfound
         for r in range(max_probes):
-            s = (ch0 + r) & (cap - 1)
+            s = at_base((ch0 + r) & (cap - 1), cbase)
             free = fps[s] == 0
             want = (~resolved) & free
-            claim = jnp.full((cap,), _INT_MAX, jnp.int32)
+            claim = jnp.full((cap_total,), _INT_MAX, jnp.int32)
             claim = claim.at[s].min(jnp.where(want, cidx, _INT_MAX),
                                     mode="drop")
             won = want & (claim[s] == cidx)
-            fps = fps.at[jnp.where(won, s, cap)].set(cfp, mode="drop")
+            fps = fps.at[jnp.where(won, s, cap_total)].set(cfp, mode="drop")
             match = (~resolved) & (fps[s] == cfp)
             cslot = jnp.where(match, s, cslot)
             resolved = resolved | match
 
-        accept = cmask & (cslot < cap) & resolved
+        accept = cmask & (cslot < cap_total) & resolved
 
         # batch occupancy bits per slot (distinct octants -> add == or)
         bit = jnp.where(accept, jnp.int32(1) << csub_id, 0)
-        tgt = jnp.where(accept, cslot, cap)
-        batch_bits = jnp.zeros((cap,), jnp.int32).at[tgt].add(
+        tgt = jnp.where(accept, cslot, cap_total)
+        batch_bits = jnp.zeros((cap_total,), jnp.int32).at[tgt].add(
             bit, mode="drop")
 
         # rank within batch = popcount of lower bits; base = stored count
@@ -377,14 +418,14 @@ def insert_deduped(
         base = counts.at[cslot].get(mode="fill", fill_value=0)
         write_pos = base + rank
         accept = accept & (write_pos < ppv)
-        tgt = jnp.where(accept, cslot, cap)
+        tgt = jnp.where(accept, cslot, cap_total)
 
         points = points.at[tgt, jnp.where(accept, write_pos, 0)].set(
             pack_points(cpts, ccoords, voxel_size), mode="drop")
         counts = counts.at[tgt].add(accept.astype(jnp.int32), mode="drop")
         occ_col = occ_col.at[tgt].add(
             jnp.where(accept, jnp.int32(1) << csub_id, 0), mode="drop")
-        rep_tgt = jnp.where(accept & (write_pos == 0), cslot, cap)
+        rep_tgt = jnp.where(accept & (write_pos == 0), cslot, cap_total)
         pts_i32 = jax.lax.bitcast_convert_type(cpts, jnp.int32)
         reps_i32 = reps_i32.at[rep_tgt].set(pts_i32, mode="drop")
         return fps, counts, occ_col, reps_i32, points
@@ -407,8 +448,10 @@ def insert_deduped(
     # 0.0205 -> 0.0251 on the bench scene; decimation degrades the
     # frontier isotropically instead (measured parity with full overflow).
     n_chunks = max(1, -(-pts.shape[0] // new_capacity))
-    if overflow or n_chunks == 1:
-        state = insert_chunk(state, is_new & (new_pos < new_capacity))
+    pre_decimated = (overflow is False and batch_rows is not None
+                     and batch_rows > 1)   # row-wise decimation done above
+    if overflow or n_chunks == 1 or pre_decimated:
+        state = insert_chunk(state, is_new & (new_pos < chunk_den))
     else:
         assert pts.shape[0] * new_capacity < 2**31
         state = insert_chunk(
@@ -416,12 +459,12 @@ def insert_deduped(
             is_new & ((new_pos * new_capacity) % jnp.maximum(n_new, 1)
                       < new_capacity))
     if n_chunks > 1 and overflow:
-        needed = (n_new + new_capacity - 1) // new_capacity
+        needed = (n_new + chunk_den - 1) // chunk_den
 
         def chunk_body(c, st):
-            lo = c * new_capacity
+            lo = c * chunk_den
             return insert_chunk(
-                st, is_new & (new_pos >= lo) & (new_pos < lo + new_capacity))
+                st, is_new & (new_pos >= lo) & (new_pos < lo + chunk_den))
 
         def run_rest(st):
             return jax.lax.fori_loop(
@@ -437,6 +480,78 @@ def insert_deduped(
         [fps[:, None], counts[:, None], reps_i32, occ_col[:, None],
          m.meta[:, 6:]], axis=1)
     return VoxelHashMap(meta=meta, points=points)
+
+
+def create_batched(batch: int, capacity: int,
+                   max_points_per_voxel: int) -> VoxelHashMap:
+    """B independent maps in ONE flat table (disjoint slot ranges).
+
+    The batched-replica pipeline (``parallel.batched``) carries this flat
+    layout so the map insert runs as single unbatched scatters; per-replica
+    views for the (vmap-safe) gather/dense stages are just reshapes:
+    ``meta.reshape(B, C, 8)`` / ``points.reshape(B, C, P)``.
+    """
+    assert capacity & (capacity - 1) == 0
+    return VoxelHashMap(
+        meta=jnp.zeros((batch * capacity, META_W), jnp.int32),
+        points=jnp.zeros((batch * capacity, max_points_per_voxel),
+                         jnp.int32),
+    )
+
+
+@partial(jax.jit, inline=True,
+         static_argnames=("voxel_size", "max_probes", "new_capacity",
+                          "overflow", "logical_capacity"))
+def insert_deduped_batched(
+    m: VoxelHashMap,         # flat [(B*C), ...] (create_batched layout)
+    pts: jax.Array,          # [B, N, 3] — each row deduped at voxel_size/2
+    mask: jax.Array,         # [B, N] bool
+    *,
+    voxel_size: float,
+    max_probes: int = 2,
+    new_capacity: int = 8192,   # per-replica new-point budget
+    overflow: bool | str = True,
+    logical_capacity: int,
+) -> VoxelHashMap:
+    """Insert B replicas' frames into the flat B-map table in ONE pass.
+
+    Replica b's points hash into slots ``[b*C, (b+1)*C)`` — keys never
+    collide across replicas, so correctness matches B independent
+    :func:`insert_deduped` calls exactly (for the exact overflow modes the
+    final map CONTENT is identical: the octant rule is content-addressed
+    and per-replica inputs are sub-voxel-unique). The point: every scatter
+    stays a single unbatched op, where ``vmap``ping the insert lowers to
+    batched scatters that serialize ~5x worse per element on TPU — the
+    measured round-2 replica collapse (docs/PERF.md).
+    """
+    b, n, _ = pts.shape
+    base = (jnp.arange(b * n, dtype=jnp.int32) // n) * logical_capacity
+    return insert_deduped(
+        m, pts.reshape(b * n, 3), mask.reshape(b * n),
+        voxel_size=voxel_size, max_probes=max_probes,
+        new_capacity=b * new_capacity, overflow=overflow,
+        slot_base=base, logical_capacity=logical_capacity, batch_rows=b)
+
+
+@partial(jax.jit, inline=True, static_argnames=("logical_capacity",))
+def remove_far_batched(
+    m: VoxelHashMap,          # flat [(B*C), ...]
+    origins: jax.Array,       # [B, 3]
+    max_range2: jax.Array,    # [B]
+    *,
+    logical_capacity: int,
+) -> VoxelHashMap:
+    """Per-replica :func:`remove_far` over the flat B-map table
+    (elementwise — reshaped views, no scatters)."""
+    b = origins.shape[0]
+    meta3 = m.meta.reshape(b, logical_capacity, META_W)
+    occupied = meta3[:, :, 1] > 0
+    reps = jax.lax.bitcast_convert_type(meta3[:, :, 2:5], jnp.float32)
+    d2 = jnp.sum((reps - origins[:, None, :]) ** 2, axis=-1)
+    evict = occupied & (d2 > max_range2[:, None])
+    keep_cols = jnp.asarray([0, 0, 1, 1, 1, 0, 1, 1], jnp.int32)[None, None]
+    meta = jnp.where(evict[..., None], meta3 * keep_cols, meta3)
+    return VoxelHashMap(meta=meta.reshape(m.meta.shape), points=m.points)
 
 
 def _argmin_select(d2: jax.Array, pts3: jax.Array) -> tuple[jax.Array, jax.Array]:

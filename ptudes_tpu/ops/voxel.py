@@ -137,6 +137,24 @@ def _take_pad(col: jax.Array, capacity: int) -> jax.Array:
     return jnp.concatenate([col, pad])
 
 
+def _perm_sort(keys: tuple) -> tuple:
+    """Stable sort of ``keys`` carrying ONLY a permutation payload.
+
+    Returns ``(*sorted_keys, perm)``. Payload columns are then fetched with
+    one row gather by ``perm`` (usually sliced to the output capacity
+    first). Sorting the payload columns along instead is what the original
+    formulation did — but XLA:TPU sort compile time scales ~7 s PER OPERAND
+    at >=32k width (measured, tools/profile_compile_sort*.py: 4-operand
+    stable 32k = 21.6 s, 7-operand = 42.5 s, while (key, iota) + row gather
+    = 7.8 s compile and is RUNTIME-FASTER: 54 us vs 63 us at 32k), and the
+    wide sorts were the dominant cost of the ~70 s cold pipeline compile.
+    """
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
+                        is_stable=True)
+
+
 def compact(
     pts: jax.Array, mask: jax.Array, capacity: int, fill: float = 0.0,
     decimate_overflow: bool = False,
@@ -167,12 +185,9 @@ def compact(
         n_keep = jnp.maximum(pos[-1] + 1, 1)
         mask = mask & ((pos * capacity) % n_keep < capacity)
     drop = (~mask).astype(jnp.int32)
-    _, x, y, z = jax.lax.sort(
-        (drop, pts[:, 0], pts[:, 1], pts[:, 2]),
-        num_keys=1, is_stable=True)
-    out = jnp.stack(
-        [_take_pad(x, capacity), _take_pad(y, capacity),
-         _take_pad(z, capacity)], axis=1)
+    _, perm = _perm_sort((drop,))
+    head = _take_pad(perm, capacity)         # pad rows masked out below
+    out = pts.at[head].get(mode="fill", fill_value=fill)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
     out = jnp.where(out_mask[:, None], out, fill)
@@ -189,11 +204,10 @@ def compact_with_payload(
     deskew timestamps). payload shape [N] or [N, K]."""
     pay2d = payload if payload.ndim == 2 else payload[:, None]
     drop = (~mask).astype(jnp.int32)
-    ops = (drop, pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
-        pay2d[:, k] for k in range(pay2d.shape[1]))
-    sorted_ = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    out = jnp.stack([_take_pad(c, capacity) for c in sorted_[1:4]], axis=1)
-    outp = jnp.stack([_take_pad(c, capacity) for c in sorted_[4:]], axis=1)
+    _, perm = _perm_sort((drop,))
+    head = _take_pad(perm, capacity)
+    out = pts.at[head].get(mode="fill", fill_value=0.0)
+    outp = pay2d.at[head].get(mode="fill", fill_value=0)
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
     out = jnp.where(out_mask[:, None], out, 0.0)
@@ -232,25 +246,32 @@ def first_in_voxel_sorted(
     n = pts.shape[0]
     h = spatial_hash(voxel_coords(pts, voxel_size), 1 << 31)
     drop = (~mask).astype(jnp.int32)
-    d, hh, x, y, z = jax.lax.sort(
-        (drop, h, pts[:, 0], pts[:, 1], pts[:, 2]),
-        num_keys=2, is_stable=True)
+    d, hh, perm = _perm_sort((drop, h))
     n_valid = jnp.sum(mask.astype(jnp.int32))
     if n <= capacity:
         d = _take_pad(d, capacity)
         hh = _take_pad(hh, capacity)
-        out = jnp.stack(
-            [_take_pad(x, capacity), _take_pad(y, capacity),
-             _take_pad(z, capacity)], axis=1)
+        head = _take_pad(perm, capacity)
+        out = pts.at[head].get(mode="fill", fill_value=0.0)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), hh[1:] != hh[:-1]])
         in_range = jnp.arange(capacity, dtype=jnp.int32) < n_valid
         keep = (d == 0) & first & in_range
+        out = jnp.where(keep[:, None], out, 0.0)
         return out, keep
     first = jnp.concatenate([jnp.ones((1,), bool), hh[1:] != hh[:-1]])
     in_range = jnp.arange(n, dtype=jnp.int32) < n_valid
     keep_full = (d == 0) & first & in_range
-    return compact(jnp.stack([x, y, z], axis=1), keep_full, capacity)
+    # second (key, iota) sort over the once-sorted order, composed into
+    # ONE final row gather from the ORIGINAL points by perm[perm2]
+    _, perm2 = _perm_sort(((~keep_full).astype(jnp.int32),))
+    head = _take_pad(perm2, capacity)
+    final_idx = perm.at[head].get(mode="fill", fill_value=0)
+    out = pts.at[final_idx].get(mode="fill", fill_value=0.0)
+    count = jnp.minimum(jnp.sum(keep_full.astype(jnp.int32)), capacity)
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    out = jnp.where(out_mask[:, None], out, 0.0)
+    return out, out_mask
 
 
 def voxel_downsample(

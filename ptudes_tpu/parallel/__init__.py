@@ -1,4 +1,5 @@
-"""Parallelism: device meshes, multi-bag DP replay, point-sharded ICP."""
-from . import mesh, replay, sharded
+"""Parallelism: device meshes, multi-bag DP replay, point-sharded ICP,
+replica-fused same-chip batching."""
+from . import batched, mesh, replay, sharded
 
-__all__ = ["mesh", "replay", "sharded"]
+__all__ = ["batched", "mesh", "replay", "sharded"]
