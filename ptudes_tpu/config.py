@@ -156,3 +156,9 @@ class PipelineConfig:
     # budget-capped even decimation with next-scan retry (fastest, map
     # may lag the frontier on high-turnover scenes)
     steady_insert_mode: bool | str = "cond"
+    # lax.scan unroll factor for the steady tail: the scan's while-loop
+    # boundary copies carry components XLA cannot alias in place (~0.2-0.3
+    # ms/scan of copy ops at bench shapes, dominated by the map table);
+    # unrolling pays that boundary once per ``scan_unroll`` scans. Results
+    # are identical for any factor; compile time grows with the factor.
+    scan_unroll: int = 1

@@ -303,9 +303,10 @@ def register_scan(
             new_capacity=(cap.max_frame if insert_overflow is True
                           else cap.max_new_per_scan),
             overflow=insert_overflow,
+            # distance eviction fused into the insert's meta rebuild —
+            # a separate remove_far re-streams the whole meta table
+            evict_origin=se3.trans(new_pose), evict_r2=evict_r2,
         )
-        local_map = hashmap.remove_far(
-            local_map, se3.trans(new_pose), evict_r2)
 
     def gate(new, old):
         return jnp.where(ok, new, old)

@@ -70,6 +70,72 @@ class LioOut(NamedTuple):
     flog: esekf.FilterLog | None = None
 
 
+# --- packed per-scan output -------------------------------------------
+# Every LioOut field stacked by lax.scan costs one dynamic-update-slice
+# per scan step (~100 us/scan total for the ~15 fields, measured via
+# profile_trace); the scan drivers therefore carry ONE flat f32 row per
+# scan and unpack it after the scan. Layout (all f32; ints/bools are
+# exact in f32 at their value ranges — counts < 2^24):
+_PK_KISS_POSE = 0      # 16
+_PK_EKF_POSE = 16      # 16
+_PK_VALID = 32         # 1
+_PK_VEL = 33           # 3
+_PK_BG = 36            # 3
+_PK_BA = 39            # 3
+_PK_GRAV = 42          # 3
+_PK_COV = 45           # 18
+_PK_AUX = 63           # 7: sigma, dt, drot, n_corr, iters, src_cnt, map_pts
+PK_MAP_POINTS = 69     # aux slot the batched driver overwrites
+_PK_W = 70
+
+
+def _pack_out(out: LioOut) -> jax.Array:
+    a = out.aux
+    return jnp.concatenate([
+        out.kiss_pose.reshape(16),
+        out.ekf_pose.reshape(16),
+        out.scan_valid.reshape(1).astype(jnp.float32),
+        out.ekf_vel, out.ekf_bias_gyr, out.ekf_bias_acc, out.ekf_grav,
+        out.ekf_cov_diag,
+        jnp.stack([
+            a.sigma, a.err_dt, a.err_drot,
+            a.num_corr.astype(jnp.float32),
+            a.iterations.astype(jnp.float32),
+            a.source_count.astype(jnp.float32),
+            a.map_points.astype(jnp.float32),
+        ]),
+    ]).astype(jnp.float32)
+
+
+def unpack_out(p: jax.Array) -> LioOut:
+    """Inverse of the packed scan output: [..., _PK_W] -> LioOut."""
+    lead = p.shape[:-1]
+
+    def f(lo, n):
+        return p[..., lo:lo + n]
+
+    return LioOut(
+        kiss_pose=f(_PK_KISS_POSE, 16).reshape(lead + (4, 4)),
+        ekf_pose=f(_PK_EKF_POSE, 16).reshape(lead + (4, 4)),
+        scan_valid=p[..., _PK_VALID].astype(bool),
+        ekf_vel=f(_PK_VEL, 3),
+        ekf_bias_gyr=f(_PK_BG, 3),
+        ekf_bias_acc=f(_PK_BA, 3),
+        ekf_grav=f(_PK_GRAV, 3),
+        ekf_cov_diag=f(_PK_COV, 18),
+        aux=KissAux(
+            sigma=p[..., _PK_AUX + 0],
+            err_dt=p[..., _PK_AUX + 1],
+            err_drot=p[..., _PK_AUX + 2],
+            num_corr=p[..., _PK_AUX + 3].astype(jnp.int32),
+            iterations=p[..., _PK_AUX + 4].astype(jnp.int32),
+            source_count=p[..., _PK_AUX + 5].astype(jnp.int32),
+            map_points=p[..., _PK_AUX + 6].astype(jnp.int32),
+        ),
+        flog=None,
+    )
+
+
 def init_state(cfg: PipelineConfig,
                init_grav=None, init_bacc=None, init_bgyr=None) -> LioState:
     return LioState(
@@ -82,7 +148,8 @@ def init_state(cfg: PipelineConfig,
 def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
                    insert_overflow: bool | str = True, log: bool = False,
                    axis_name: str | None = None,
-                   defer_insert: bool = False):
+                   defer_insert: bool = False,
+                   pack_out: bool = False):
     """Build the jittable scan_step closure over the projection LUT.
 
     ``insert_overflow=False`` builds the STEADY-state body: the map insert
@@ -106,7 +173,14 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
     ``defer_insert``: skip the map insert/evict and return
     ``(state, (out, kiss.DeferredInsert))`` instead of ``(state, out)`` —
     the batched-replica driver (``parallel.batched``) vmaps this step and
-    runs the map update itself as flat unbatched scatters."""
+    runs the map update itself as flat unbatched scatters.
+
+    ``pack_out``: emit the per-scan output as ONE flat f32 row (see
+    :func:`unpack_out`) instead of the LioOut pytree — the lax.scan
+    drivers use this to pay one output dynamic-update-slice per scan
+    instead of ~15 (log mode excluded: the FilterLog arrays stay
+    unpacked)."""
+    assert not (pack_out and log), "pack_out applies to the log=False path"
 
     def scan_step(state: LioState, batch: ScanBatch):
         # 1. EKF predict over the scan's IMU block (reference interleaves
@@ -207,6 +281,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             aux=aux,
             flog=flog,
         )
+        if pack_out:
+            out = _pack_out(out)
         if defer_insert:
             return out_state, (out, deferred)
         return out_state, out
@@ -231,21 +307,27 @@ def run_sequence(
     """
     n = batches.range_m.shape[0]
     k = n if cfg.bootstrap_scans < 0 else min(cfg.bootstrap_scans, n)
-    boot = make_scan_step(lut, cfg, insert_overflow=True, log=log)
+    pk = not log
+    unpack = unpack_out if pk else (lambda o: o)
+    boot = make_scan_step(lut, cfg, insert_overflow=True, log=log,
+                          pack_out=pk)
     if k >= n:
-        return jax.lax.scan(boot, state, batches)
+        state, out = jax.lax.scan(boot, state, batches)
+        return state, unpack(out)
     steady = make_scan_step(lut, cfg,
                             insert_overflow=cfg.steady_insert_mode,
-                            log=log)
+                            log=log, pack_out=pk)
+    ur = max(cfg.scan_unroll, 1)
     if k == 0:
-        return jax.lax.scan(steady, state, batches)
+        state, out = jax.lax.scan(steady, state, batches, unroll=ur)
+        return state, unpack(out)
     head = jax.tree.map(lambda x: x[:k], batches)
     state, out_h = jax.lax.scan(boot, state, head)
     rest = jax.tree.map(lambda x: x[k:], batches)
-    state, out_t = jax.lax.scan(steady, state, rest)
+    state, out_t = jax.lax.scan(steady, state, rest, unroll=ur)
     out = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b], axis=0), out_h, out_t)
-    return state, out
+    return state, unpack(out)
 
 
 def flatten_filter_log(flog: esekf.FilterLog,

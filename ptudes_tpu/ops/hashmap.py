@@ -268,6 +268,8 @@ def insert_deduped(
     slot_base: jax.Array | None = None,  # [N] int32 per-point slot offset
     logical_capacity: int | None = None,
     batch_rows: int | None = None,
+    evict_origin: jax.Array | None = None,  # [3] fuse remove_far here
+    evict_r2: jax.Array | None = None,      # [] squared radius (inf = none)
 ) -> VoxelHashMap:
     """Occupancy-deduped insert for sub-voxel-unique batches.
 
@@ -293,6 +295,15 @@ def insert_deduped(
     spatial constraint inside the voxel; the octant rule stores a strictly
     better-spread subset (>= 1 point per occupied half-resolution cell),
     which is what the NN search and plane fits actually consume.
+
+    ``evict_origin``/``evict_r2``: fold the post-insert distance eviction
+    (:func:`remove_far` semantics — evict AFTER insert, around the new
+    pose) into this insert's meta rebuild. remove_far as a separate op
+    re-streams the full meta table (read + write ~32 MB at 2^19 slots,
+    ~50 us/scan); fused here it is a cheap ``where`` on the column arrays
+    already in flight. Freshly inserted scan points are range-clipped to
+    max_range and can never be evicted by it, so fused order == separate
+    order.
 
     Batched-replica mode (``slot_base``/``logical_capacity``/``batch_rows``;
     see :func:`insert_deduped_batched`): the table holds B independent maps
@@ -476,6 +487,15 @@ def insert_deduped(
             state = run_rest(state)
 
     fps, counts, occ_col, reps_i32, points = state
+    if evict_origin is not None:
+        assert evict_r2 is not None
+        reps_f = jax.lax.bitcast_convert_type(reps_i32, jnp.float32)
+        d2 = jnp.sum((reps_f - evict_origin[None, :]) ** 2, axis=-1)
+        evict = (counts > 0) & (d2 > evict_r2)
+        zero = jnp.int32(0)
+        fps = jnp.where(evict, zero, fps)
+        counts = jnp.where(evict, zero, counts)
+        occ_col = jnp.where(evict, zero, occ_col)
     meta = jnp.concatenate(
         [fps[:, None], counts[:, None], reps_i32, occ_col[:, None],
          m.meta[:, 6:]], axis=1)

@@ -211,6 +211,15 @@ def _log_pose_scalars(r, t):
 
 def _make_loop_kernel(max_iterations: int, use_prior: bool,
                       loop_mode: str = "while"):
+    """Build the whole-loop kernel.
+
+    LAYOUT: points are folded into full (NS, 128) vector-register tiles
+    (NS = N/128) instead of [1, N] rows. A [1, N] value occupies one of
+    the 8 sublanes of each vreg, so every elementwise op on it runs at
+    1/8 VPU width — measured ~140 us per GN iteration for a dense pass
+    whose full-width cost is ~10 us. Per-point quantities are (NS, 128),
+    candidate tensors (C, NS, 128); all ~40 elementwise ops of the
+    iteration then run on fully-packed vregs."""
     def kernel(src_ref, f_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
                out_ref):
         kern = scal_ref[0, _S_KERN]
@@ -223,14 +232,14 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool,
                      for k in (0, 1, 2, 4, 5, 6, 8, 9, 10))
         gi_t = tuple(scal_ref[0, _S_POSE_INV + k] for k in (3, 7, 11))
 
-        src = src_ref[:]
-        sx, sy, sz = src[0:1, :], src[1:2, :], src[2:3, :]
+        src = src_ref[:]                               # [8, NS, 128]
+        sx, sy, sz = src[0], src[1], src[2]            # [NS, 128]
         f = f_ref[:]
-        nx, ny, nz = f[0:1, :], f[1:2, :], f[2:3, :]
-        ccx, ccy, ccz = f[3:4, :], f[4:5, :], f[5:6, :]
-        quality = f[6:7, :]
-        mask = f[7:8, :]
-        cx = cx_ref[:]
+        nx, ny, nz = f[0], f[1], f[2]
+        ccx, ccy, ccz = f[3], f[4], f[5]
+        quality = f[6]
+        mask = f[7]
+        cx = cx_ref[:]                                 # [C, NS, 128]
         cy = cy_ref[:]
         cz = cz_ref[:]
         inf = inf_ref[:]
@@ -240,18 +249,20 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool,
             pose, _conv, _n_corr, iters = carry
             r = pose[:9]
             t = pose[9:]
-            px = r[0] * sx + r[1] * sy + r[2] * sz + t[0]
+            px = r[0] * sx + r[1] * sy + r[2] * sz + t[0]   # [NS, 128]
             py = r[3] * sx + r[4] * sy + r[5] * sz + t[1]
             pz = r[6] * sx + r[7] * sy + r[8] * sz + t[2]
 
-            d2 = ((cx - px) ** 2 + (cy - py) ** 2 + (cz - pz) ** 2 + inf)
-            d2min = jnp.min(d2, axis=0, keepdims=True)
-            hit_row = jnp.where(d2 == d2min, row_id, jnp.int32(1 << 30))
-            kmin = jnp.min(hit_row, axis=0, keepdims=True)
-            oneh = (row_id == kmin).astype(jnp.float32)
-            qx = jnp.sum(oneh * cx, axis=0, keepdims=True)
-            qy = jnp.sum(oneh * cy, axis=0, keepdims=True)
-            qz = jnp.sum(oneh * cz, axis=0, keepdims=True)
+            d2 = ((cx - px[None]) ** 2 + (cy - py[None]) ** 2
+                  + (cz - pz[None]) ** 2 + inf)             # [C, NS, 128]
+            d2min = jnp.min(d2, axis=0)                     # [NS, 128]
+            hit_row = jnp.where(d2 == d2min[None], row_id,
+                                jnp.int32(1 << 30))
+            kmin = jnp.min(hit_row, axis=0)
+            oneh = (row_id == kmin[None]).astype(jnp.float32)
+            qx = jnp.sum(oneh * cx, axis=0)
+            qy = jnp.sum(oneh * cy, axis=0)
+            qz = jnp.sum(oneh * cz, axis=0)
 
             found = d2min < jnp.float32(1e30)
             corr = (mask > 0) & found & (d2min <= max_d2)
@@ -269,26 +280,44 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool,
                              (kern * kern) / (kern + d2min) ** 2, 0.0)
             rx, ry, rz = px - qx, py - qy, pz - qz
 
-            # point-branch moment sums (scalar reductions)
-            sw = jnp.sum(w_pt)
-            spx = jnp.sum(w_pt * px)
-            spy = jnp.sum(w_pt * py)
-            spz = jnp.sum(w_pt * pz)
-            pxx = jnp.sum(w_pt * px * px)
-            pyy = jnp.sum(w_pt * py * py)
-            pzz = jnp.sum(w_pt * pz * pz)
-            pxy = jnp.sum(w_pt * px * py)
-            pxz = jnp.sum(w_pt * px * pz)
-            pyz = jnp.sum(w_pt * py * pz)
-            cxr = jnp.sum(w_pt * (py * rz - pz * ry))
-            cyr = jnp.sum(w_pt * (pz * rx - px * rz))
-            czr = jnp.sum(w_pt * (px * ry - py * rx))
-            srx = jnp.sum(w_pt * rx)
-            sry = jnp.sum(w_pt * ry)
-            srz = jnp.sum(w_pt * rz)
+            # ALL moment sums as ONE stacked lane reduction (the
+            # pallas_gn._kernel formulation): ~50 separate jnp.sum calls
+            # here serialized into ~50 cross-lane reduce ops and dominated
+            # the iteration (~100 us measured); one [48, N] sum is a
+            # single vector pass.
+            mrows = [
+                w_pt,
+                w_pt * px, w_pt * py, w_pt * pz,
+                w_pt * px * px, w_pt * py * py, w_pt * pz * pz,
+                w_pt * px * py, w_pt * px * pz, w_pt * py * pz,
+                w_pt * (py * rz - pz * ry),
+                w_pt * (pz * rx - px * rz),
+                w_pt * (px * ry - py * rx),
+                w_pt * rx, w_pt * ry, w_pt * rz,
+            ]
+            rvec = (ax, ay, az, nx, ny, nz)
+            for u in range(6):
+                for v in range(u, 6):
+                    mrows.append(w_pl * rvec[u] * rvec[v])
+            for u in range(6):
+                mrows.append(w_pl * rvec[u] * s)
+            mrows.append(corr.astype(jnp.float32))
+            mrows.append(w_pl)
+            mrows += [jnp.zeros_like(w_pt)] * (48 - len(mrows))
+            st = jnp.stack(mrows)                            # [48, NS, 128]
+            sums = jnp.sum(jnp.sum(st, axis=2), axis=1,
+                           keepdims=True)                    # [48, 1]
+
+            sw = sums[0, 0]
+            spx, spy, spz = sums[1, 0], sums[2, 0], sums[3, 0]
+            pxx, pyy, pzz = sums[4, 0], sums[5, 0], sums[6, 0]
+            pxy, pxz, pyz = sums[7, 0], sums[8, 0], sums[9, 0]
+            cxr, cyr, czr = sums[10, 0], sums[11, 0], sums[12, 0]
+            srx, sry, srz = sums[13, 0], sums[14, 0], sums[15, 0]
 
             # JtJ_pt = [trace*I - Spp, hat(Sp); -hat(Sp), Sw*I]
             trc = pxx + pyy + pzz
+            zero = jnp.float32(0.0)
             a = [[None] * 6 for _ in range(6)]
             a[0][0] = trc - pxx
             a[1][1] = trc - pyy
@@ -296,35 +325,38 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool,
             a[0][1] = -pxy
             a[0][2] = -pxz
             a[1][2] = -pyz
-            a[0][3] = jnp.zeros_like(sw)
+            a[0][3] = zero
             a[0][4] = -spz
             a[0][5] = spy
             a[1][3] = spz
-            a[1][4] = jnp.zeros_like(sw)
+            a[1][4] = zero
             a[1][5] = -spx
             a[2][3] = -spy
             a[2][4] = spx
-            a[2][5] = jnp.zeros_like(sw)
+            a[2][5] = zero
             a[3][3] = sw
             a[4][4] = sw
             a[5][5] = sw
-            a[3][4] = jnp.zeros_like(sw)
-            a[3][5] = jnp.zeros_like(sw)
-            a[4][5] = jnp.zeros_like(sw)
+            a[3][4] = zero
+            a[3][5] = zero
+            a[4][5] = zero
             b = [cxr, cyr, czr, srx, sry, srz]
 
             # plane-branch row sums: row = [a | n], residual s
-            rvec = (ax, ay, az, nx, ny, nz)
+            k = 16
             for u in range(6):
                 for v in range(u, 6):
-                    a[u][v] = a[u][v] + jnp.sum(w_pl * rvec[u] * rvec[v])
-                b[u] = b[u] + jnp.sum(w_pl * rvec[u] * s)
+                    a[u][v] = a[u][v] + sums[k, 0]
+                    k += 1
+            for u in range(6):
+                b[u] = b[u] + sums[k, 0]
+                k += 1
             for u in range(6):
                 for v in range(u):
                     a[u][v] = a[v][u]
 
-            n_corr = jnp.sum(corr.astype(jnp.float32))
-            tot_w = sw + jnp.sum(w_pl)
+            n_corr = sums[43, 0]
+            tot_w = sw + sums[44, 0]
 
             if use_prior:
                 rel_r, rel_t = _compose_scalars(
@@ -405,6 +437,7 @@ def icp_loop_pallas(
     n = source.shape[0]
     c = prepped.cx.shape[0]
     assert n % 128 == 0, f"source capacity {n} must be lane-aligned"
+    ns = n // 128
 
     src = jnp.concatenate(
         [source.astype(jnp.float32),
@@ -428,12 +461,14 @@ def icp_loop_pallas(
         max_iterations,
         use_prior=(prior_rot_weight > 0.0 or prior_trans_weight > 0.0),
         loop_mode=loop_mode)
+    # fold points into full (NS, 128) vreg tiles (see _make_loop_kernel);
+    # (*, N) -> (*, NS, 128) is layout-compatible (row-major)
     out = pl.pallas_call(
         kern_fn,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # src [8, N]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # feat [8, N]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cx [C, N]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # src [8, NS, 128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # feat [8, NS, 128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cx [C, NS, 128]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cz
             pl.BlockSpec(memory_space=pltpu.VMEM),   # inf
@@ -442,7 +477,9 @@ def icp_loop_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 16), jnp.float32),
         interpret=interpret,
-    )(src, prepped.feat, prepped.cx, prepped.cy, prepped.cz, prepped.inf,
+    )(src.reshape(8, ns, 128), prepped.feat.reshape(8, ns, 128),
+      prepped.cx.reshape(c, ns, 128), prepped.cy.reshape(c, ns, 128),
+      prepped.cz.reshape(c, ns, 128), prepped.inf.reshape(c, ns, 128),
       scal)[0]
 
     pose = jnp.concatenate(
