@@ -294,6 +294,95 @@ def run_filter(
     return jax.lax.scan(step, s, (imus, corr_mask, corr_poses))
 
 
+@partial(jax.jit, inline=True, static_argnames=("cfg",))
+def _process_imu_batch_assoc(
+    s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig,
+) -> EkfState:
+    """Batched-covariance predict block.
+
+    Same math as K sequential :func:`process_imu` calls, restructured for
+    TPU: the nav mechanization (a genuinely serial, tiny scalar chain)
+    stays an unrolled scan, but the K serialized 18x18 covariance updates
+    ``P <- Fx P Fx^T + W`` — measured at ~61 us/step of small-op overhead,
+    ~0.9 ms/scan at K=16, a quarter of the whole fused scan step — become
+
+        P' = G_1 P G_1^T + sum_k G_{k+1} W_k G_{k+1}^T,
+        G_k = F_K @ ... @ F_k  (suffix products, log-depth assoc. scan)
+
+    i.e. 4 levels of batched [K,18,18] matmuls + one compound update.
+    Differences vs the unrolled chain are pure f32 reassociation (~1e-3
+    absolute on cov entries of magnitude ~100; the unrolled chain also
+    symmetrizes every step, this form once at the end) — far below the
+    process-noise floor of a single IMU interval.
+
+    Invalid (padded) samples get dt = 0, hence F = I and W = 0 — exact
+    no-ops in the product — and the first valid sample of an uninitialized
+    filter only latches the timestamp, like :func:`process_imu`.
+    """
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def nav_step(carry, inp):
+        pos, vel, quat, ts, init = carry
+        lacc, avel, t, ok = inp
+        eff = ok & init
+        dt = jnp.where(eff, jnp.maximum(t - ts, 0.0), 0.0)
+        r_prev = so3.quat_to_mat(quat)
+        acc_body = lacc - s.bias_acc
+        avel_body = avel - s.bias_gyr
+        rot_dtheta = so3.exp_rotvec(avel_body * dt)
+        acc_total = r_prev @ acc_body + s.grav
+        pos = pos + vel * dt + 0.5 * acc_total * dt * dt
+        vel = vel + acc_total * dt
+        quat = jnp.where(
+            eff, so3.quat_mul(quat, so3.mat_to_quat(rot_dtheta)), quat)
+        ts = jnp.where(ok, jnp.maximum(t, ts), ts)
+        init = init | ok
+        return ((pos, vel, quat, ts, init),
+                (r_prev, acc_body, rot_dtheta, dt))
+
+    carry0 = (s.pos, s.vel, s.quat, s.imu_ts, s.initialized)
+    (pos, vel, quat, ts, init), (r_prev, acc_body, rot_d, dt) = jax.lax.scan(
+        nav_step, carry0, (imus.lacc, imus.avel, imus.ts, valid),
+        unroll=True)
+
+    def build_fw(r_prev, acc_body, rot_dtheta, dt):
+        # identical blocks to process_imu (reference es_ekf.py:216-233);
+        # dt = 0 (masked samples) gives exactly F = I, W = 0
+        fx = jnp.eye(STATE_RANK, dtype=jnp.float32)
+        fx = _set_blk(fx, POS, VEL, dt * eye3)
+        fx = _set_blk(fx, VEL, PHI, -dt * (r_prev @ so3.hat(acc_body)))
+        fx = _set_blk(fx, VEL, BA, -dt * r_prev)
+        fx = _set_blk(fx, PHI, PHI, rot_dtheta.T)
+        fx = _set_blk(fx, PHI, BG, -dt * eye3)
+        wdiag = jnp.zeros((STATE_RANK,), jnp.float32)
+        wdiag = wdiag.at[VEL:VEL + 3].set((dt * cfg.acc_bias_std) ** 2)
+        wdiag = wdiag.at[PHI:PHI + 3].set((dt * cfg.gyr_bias_std) ** 2)
+        wdiag = wdiag.at[BA:BA + 3].set(dt * cfg.acc_vrw**2)
+        wdiag = wdiag.at[BG:BG + 3].set(dt * cfg.gyr_arw**2)
+        return fx, wdiag
+
+    fx, wdiag = jax.vmap(build_fw)(r_prev, acc_body, rot_d, dt)
+
+    # suffix products G_k = F_K ... F_k. NOTE argument order: under
+    # reverse=True, associative_scan feeds combine(earlier, later) such
+    # that a @ b yields the descending product (verified against a direct
+    # fold — b @ a silently gives the ascending one, a ~1e-2 cov error)
+    gs = jax.lax.associative_scan(
+        lambda a, b: jnp.matmul(a, b), fx, reverse=True)
+    g1 = gs[0]
+    gnext = jnp.concatenate(
+        [gs[1:], jnp.eye(STATE_RANK, dtype=jnp.float32)[None]], axis=0)
+    cov = g1 @ s.cov @ g1.T + jnp.einsum(
+        "kij,kj,klj->il", gnext, wdiag, gnext)
+    cov = 0.5 * (cov + cov.T)
+
+    return EkfState(
+        pos=pos, vel=vel, quat=quat,
+        bias_gyr=s.bias_gyr, bias_acc=s.bias_acc, grav=s.grav,
+        cov=cov, imu_ts=ts, initialized=init,
+    )
+
+
 @partial(jax.jit, inline=True, static_argnames=("cfg", "log"))
 def process_imu_batch(
     s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig,
@@ -302,10 +391,19 @@ def process_imu_batch(
     """Run a padded block of IMU samples through predict under lax.scan
     (the per-scan inner loop of the fused pipeline, SURVEY.md section 7.6).
 
+    ``cfg.predict_batch`` selects the structure: "assoc" (default) runs
+    the covariance chain as a log-depth associative scan (see
+    :func:`_process_imu_batch_assoc` — ~6x cheaper on TPU, f32
+    reassociation differences only), "unroll" is the step-by-step chain
+    bit-matching K sequential :func:`process_imu` calls.
+
     With ``log=True`` returns ``(state, FilterLog)`` with one entry per
     (padded) IMU slot — the fused pipeline's IMU-rate history (the
     reference's ``_logging=True`` recordings for the flagship ouster mode,
-    ``src/ptudes/ins/es_ekf.py:171-179``)."""
+    ``src/ptudes/ins/es_ekf.py:171-179``); the log path always runs the
+    unrolled chain (it needs the per-step states)."""
+    if not log and cfg.predict_batch == "assoc":
+        return _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
 
     def step(state, inp):
         imu, ok = inp

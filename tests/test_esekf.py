@@ -204,8 +204,10 @@ class TestSimOracle:
 
 class TestBatched:
     def test_imu_batch_equals_sequential(self):
+        """The unrolled chain bit-matches K sequential process_imu calls."""
+        import dataclasses
         _, noisy = sim.sim_imu_arrays(5, 16)
-        cfg = CFG
+        cfg = dataclasses.replace(CFG, predict_batch="unroll")
         s0 = esekf.init_state(cfg)
         s_seq = s0
         for i in range(10):
@@ -216,6 +218,41 @@ class TestBatched:
         assert np.allclose(s_bat.pos, s_seq.pos, atol=1e-6)
         assert np.allclose(s_bat.cov, s_seq.cov, atol=1e-5)
         assert np.allclose(s_bat.imu_ts, s_seq.imu_ts)
+
+    def test_assoc_matches_unroll(self):
+        """The associative-scan predict (default) matches the unrolled
+        chain to f32 reassociation tolerance — nav state near-exactly,
+        covariance to ~1e-3 absolute at entry magnitudes ~100."""
+        import dataclasses
+        _, noisy = sim.sim_imu_arrays(7, 16)
+        cfg_u = dataclasses.replace(CFG, predict_batch="unroll")
+        cfg_a = dataclasses.replace(CFG, predict_batch="assoc")
+        s0 = esekf.init_state(CFG)
+        valid = jnp.arange(16) < 13   # padded tail must be a no-op
+        s_u = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_u)
+        s_a = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_a)
+        assert np.allclose(s_a.pos, s_u.pos, atol=1e-5)
+        assert np.allclose(s_a.vel, s_u.vel, atol=1e-5)
+        assert np.allclose(s_a.quat, s_u.quat, atol=1e-6)
+        assert np.allclose(s_a.imu_ts, s_u.imu_ts)
+        assert bool(s_a.initialized) == bool(s_u.initialized)
+        assert np.allclose(s_a.cov, s_u.cov, rtol=1e-3, atol=2e-3), \
+            np.abs(np.asarray(s_a.cov) - np.asarray(s_u.cov)).max()
+
+    def test_assoc_uninitialized_first_sample_latches(self):
+        """First valid sample of a fresh filter only latches the clock —
+        both modes."""
+        import dataclasses
+        _, noisy = sim.sim_imu_arrays(3, 4)
+        one = jnp.asarray([True, False, False, False])
+        for mode in ("unroll", "assoc"):
+            cfg = dataclasses.replace(CFG, predict_batch=mode)
+            s0 = esekf.init_state(cfg)
+            s1 = esekf.process_imu_batch(s0, noisy, one, cfg=cfg)
+            assert np.allclose(s1.pos, s0.pos)
+            assert np.allclose(s1.cov, s0.cov, atol=1e-6)
+            assert float(s1.imu_ts) == float(noisy.ts[0])
+            assert bool(s1.initialized)
 
     def test_vmap_over_filters(self):
         cfg = CFG
