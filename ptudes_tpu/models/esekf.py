@@ -335,7 +335,11 @@ def _process_imu_batch_assoc(
         vel = vel + acc_total * dt
         quat = jnp.where(
             eff, so3.quat_mul(quat, so3.mat_to_quat(rot_dtheta)), quat)
-        ts = jnp.where(ok, jnp.maximum(t, ts), ts)
+        # first valid sample of an uninitialized filter latches ts directly
+        # (process_imu's latch branch assigns imu_ts = imu.ts, no max) —
+        # keeps the two forms identical for ts below the 0.0 init value
+        ts = jnp.where(
+            ok, jnp.where(init, jnp.maximum(t, ts), t), ts)
         init = init | ok
         return ((pos, vel, quat, ts, init),
                 (r_prev, acc_body, rot_dtheta, dt))
@@ -400,9 +404,20 @@ def process_imu_batch(
     With ``log=True`` returns ``(state, FilterLog)`` with one entry per
     (padded) IMU slot — the fused pipeline's IMU-rate history (the
     reference's ``_logging=True`` recordings for the flagship ouster mode,
-    ``src/ptudes/ins/es_ekf.py:171-179``); the log path always runs the
-    unrolled chain (it needs the per-step states)."""
-    if not log and cfg.predict_batch == "assoc":
+    ``src/ptudes/ins/es_ekf.py:171-179``). Logging is side-effect-free,
+    exactly like the reference (``es_ekf.py:171-179``): the CARRIED state
+    is always the one ``log=False`` would return — under "assoc" the log
+    path runs the unrolled chain only to emit the per-step history and
+    carries the assoc-form state forward, so observability never perturbs
+    the trajectory (the per-step ``cov_diag`` entries are the unrolled
+    chain's, which differ from the carried assoc covariance by f32
+    reassociation only)."""
+    if cfg.predict_batch not in ("assoc", "unroll"):
+        raise ValueError(
+            f"EkfConfig.predict_batch must be 'assoc' or 'unroll', got "
+            f"{cfg.predict_batch!r}")
+    use_assoc = cfg.predict_batch == "assoc"
+    if not log and use_assoc:
         return _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
 
     def step(state, inp):
@@ -423,4 +438,8 @@ def process_imu_batch(
     # unrolling lets XLA fuse across steps instead of paying per-iteration
     # loop overhead on sub-microsecond bodies
     out, flog = jax.lax.scan(step, s, (imus, valid), unroll=True)
+    if log and use_assoc:
+        # carry the assoc-form state so log=True and log=False runs are
+        # bit-identical; the unrolled chain above only feeds the history
+        out = _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
     return (out, flog) if log else out
