@@ -78,9 +78,15 @@ def run_sequence_batched(
     # time-major for lax.scan over the shared time axis
     tb = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), batches)
 
+    # packed per-scan outputs (ONE flat f32 row per scan per replica
+    # instead of ~15 stacked LioOut leaves — the same dynamic-update-slice
+    # saving as the single-device driver, VERDICT r3 #5); log mode keeps
+    # the unpacked pytree (FilterLog arrays don't pack)
+    pk = not log
+
     def make_body(insert_overflow):
         step = lio.make_scan_step(lut, cfg, insert_overflow=insert_overflow,
-                                  log=log, defer_insert=True)
+                                  log=log, defer_insert=True, pack_out=pk)
 
         def body(carry, batch_t):
             flat, rest = carry
@@ -96,8 +102,12 @@ def run_sequence_batched(
             flat1 = hashmap.remove_far_batched(
                 flat1, dfr.origin, dfr.evict_r2, logical_capacity=c)
             counts = flat1.meta[:, 1].reshape(b, c)
-            out = out._replace(aux=out.aux._replace(
-                map_points=jnp.sum(counts, axis=1)))
+            map_pts = jnp.sum(counts, axis=1)
+            if pk:
+                out = out.at[:, lio.PK_MAP_POINTS].set(
+                    map_pts.astype(jnp.float32))
+            else:
+                out = out._replace(aux=out.aux._replace(map_points=map_pts))
             return (flat1, _strip_map(st1)), out
 
         return body
@@ -122,4 +132,4 @@ def run_sequence_batched(
     fin = rest._replace(kiss=rest.kiss._replace(
         local_map=_map_view(flat, b, c)))
     out = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), out)
-    return fin, out
+    return fin, (lio.unpack_out(out) if pk else out)
