@@ -81,7 +81,15 @@ def imu_from_raw(sys_ts_ns, accel_g, avel_deg) -> ImuSequence:
 
 def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns,
                    keep_fields: bool = False) -> ScanSequence:
-    """Group parsed columns into dense [H, W] frames by frame_id change.
+    """Group parsed columns into dense [H, W] frames keyed by frame_id
+    VALUE (not consecutive change): late / reordered packets land in the
+    frame their frame_id names, so one packet straddling a frame boundary
+    no longer splits a frame into fragments — the C++ ``ScanBatcher``
+    behavior the reference relies on (``src/ptudes/data.py:44-62``).
+    The 16-bit frame counter is unwrapped first (a drop of more than half
+    the counter range relative to the previous packet is a wrap, a jump UP
+    by more than half is a stray pre-wrap packet), so value-keying also
+    survives 65535 -> 0 rollovers mid-recording.
 
     ``keep_fields=True`` also assembles the non-range channels
     (reflectivity/signal/nearir + second returns on dual profiles) for
@@ -96,9 +104,16 @@ def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns,
             {} if keep_fields else None)
 
     fid = cols.frame_id.astype(np.int64)
-    new_frame = np.concatenate([[True], fid[1:] != fid[:-1]])
-    scan_idx = np.cumsum(new_frame) - 1
-    n_scans = int(scan_idx[-1]) + 1
+    half = 1 << 15
+    d = np.diff(fid)
+    # epoch goes up on a wrap (big drop), down for a stray packet from
+    # before the wrap (big jump up); cancels back out on the next packet
+    epoch = np.concatenate(
+        [[0], np.cumsum((d < -half).astype(np.int64)
+                        - (d > half).astype(np.int64))])
+    unwrapped = fid + (epoch << 16)
+    uniq, scan_idx = np.unique(unwrapped, return_inverse=True)
+    n_scans = len(uniq)
 
     mid = np.clip(cols.measurement_id.astype(np.int64), 0, w - 1)
     ok = cols.status

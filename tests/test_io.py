@@ -99,6 +99,70 @@ class TestScanAssembly:
         assert scans.valid_cols.all()
         assert (np.diff(scans.ts) > 0).all()
 
+    def test_reordered_packets_across_frame_boundary(self):
+        """A late packet straddling a frame boundary must land in the
+        frame its frame_id names instead of splitting frames into
+        fragments — the C++ ScanBatcher's content-keyed behavior
+        (reference ``src/ptudes/data.py:44-62``)."""
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=3)
+        per_frame = info.w // info.columns_per_packet
+        order = list(range(len(payloads)))
+        # swap the last packet of each frame with the first of the next
+        for b in (per_frame, 2 * per_frame):
+            order[b - 1], order[b] = order[b], order[b - 1]
+        arr = np.stack(
+            [np.frombuffer(payloads[i][1], np.uint8) for i in order])
+        scans = sources.assemble_scans(
+            info, pkt.parse_lidar_packets(info, arr))
+        assert len(scans) == 3
+        assert np.array_equal(scans.range_mm, truth)
+        assert scans.valid_cols.all()
+
+    def test_shuffled_packets_within_window(self):
+        """Arbitrary packet reorder still yields N clean frames."""
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=3)
+        rng = np.random.default_rng(11)
+        order = rng.permutation(len(payloads))
+        arr = np.stack(
+            [np.frombuffer(payloads[i][1], np.uint8) for i in order])
+        scans = sources.assemble_scans(
+            info, pkt.parse_lidar_packets(info, arr))
+        assert len(scans) == 3
+        assert np.array_equal(scans.range_mm, truth)
+
+    def test_frame_id_wraparound(self):
+        """16-bit frame counter rollover (65535 -> 0) must not collide
+        post-wrap frames with pre-wrap ones, including one late pre-wrap
+        packet arriving after the wrap."""
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=3)
+        per_frame = info.w // info.columns_per_packet
+        fids = [65534, 65535, 0]
+        rewritten = []
+        for i, (_, buf) in enumerate(payloads):
+            b = bytearray(buf)
+            fi = fids[i // per_frame]
+            # legacy packet: frame_id is u16 at offset 10 of each column
+            col_bytes = len(buf) // info.columns_per_packet
+            for c in range(info.columns_per_packet):
+                b[c * col_bytes + 10:c * col_bytes + 12] = int(
+                    fi).to_bytes(2, "little")
+            rewritten.append(bytes(b))
+        # move the last packet of frame 65535 to AFTER the first packet
+        # of frame 0 (late packet across the wrap)
+        order = list(range(len(rewritten)))
+        b = 2 * per_frame
+        order[b - 1], order[b] = order[b], order[b - 1]
+        arr = np.stack(
+            [np.frombuffer(rewritten[i], np.uint8) for i in order])
+        scans = sources.assemble_scans(
+            info, pkt.parse_lidar_packets(info, arr))
+        assert len(scans) == 3
+        assert np.array_equal(scans.range_mm, truth)
+        assert scans.valid_cols.all()
+
     def test_partial_last_frame_kept(self):
         info = make_info()
         payloads, truth = synth_frames(info, n_frames=2)
