@@ -81,16 +81,25 @@ def bench_config():
         # max_source=4096: the ~6.2k deduped source decimates evenly to
         # 4096 (scan-order-unbiased), halving the per-iteration GN width
         # and the candidate gathers (+5.5% measured at ATE parity).
-        # Insert runs the default exact steady mode ("cond"); the
-        # decimate steady mode trades ATE for speed on this
-        # frontier-heavy scene (312.4 scans/s at ATE 0.0190 in the
-        # round-2 matrix — see docs/PERF.md; speed knob, not default).
         cap=Capacity(max_points=H * W, max_frame=32768, max_source=4096,
                      map_capacity=1 << 19, dedup_table=1 << 18,
                      max_new_per_scan=4096, max_probes=1),
         ekf=EkfConfig(),
         max_imu_per_scan=16,
         guess="ekf",
+        # bootstrap 3 + decimated steady insert (round-4 matrix,
+        # tools/exp_r4.py): the r4 trace showed the exact "cond" steady
+        # insert paying ~115 us/scan of UNTAKEN cond boundary plus the
+        # overflow fori on early map-fill scans; running scans 0-2 with
+        # the full-overflow body (map essentially complete by then on
+        # this 30 m scene) and the loop-free budget-decimated insert
+        # after measures 315.3 scans/s at ATE 0.0131 — faster AND more
+        # accurate than cond steady (298.5 @ 0.0142), and cold compile
+        # drops 104 s -> 58 s (no cond/fori bodies in the steady scan).
+        # config.py keeps "cond" as the library default (exact map
+        # semantics on arbitrary scenes); this is the bench shape.
+        bootstrap_scans=3,
+        steady_insert_mode=False,
         # unroll=2 pays the lax.scan boundary's carry copies once per two
         # scans: 273.6 -> 279.1 scans/s measured (r3); unroll=4 regresses
         # to 262.8 (scheduling pressure), so 2 is the sweet spot
@@ -267,12 +276,19 @@ def main():
             "cpu_scans_per_sec": round(cpu_scans_per_sec, 3),
             "cpu_ate_rmse_m": round(cpu_ate, 4),
         },
+        # two quality gates, recorded separately (VERDICT r3 weak #3: the
+        # oracle's 0.15 m ATE makes the relative gate too loose to catch a
+        # TPU-side regression, so an ABSOLUTE ceiling is the binding one)
         "quality": {
             "ate_rmse_m": round(tpu["ate_rmse_m"], 4),
             "vs_oracle_ate": round(tpu["ate_rmse_m"] / max(cpu_ate, 1e-9),
                                    3),
-            "gate": "tpu ATE <= 1.05x oracle ATE",
-            "gate_pass": bool(tpu["ate_rmse_m"] <= 1.05 * cpu_ate),
+            "gate_rel": "tpu ATE <= 1.05x oracle ATE",
+            "gate_rel_pass": bool(tpu["ate_rmse_m"] <= 1.05 * cpu_ate),
+            "gate_abs": "tpu ATE RMSE <= 0.02 m",
+            "gate_abs_pass": bool(tpu["ate_rmse_m"] <= 0.02),
+            "gate_pass": bool(tpu["ate_rmse_m"] <= 1.05 * cpu_ate
+                              and tpu["ate_rmse_m"] <= 0.02),
         },
         "replica_aggregate_scans_per_sec": replicas,
         "replica_note": "replica-fused batched driver (parallel/batched.py"

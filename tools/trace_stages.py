@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-from bench import H, W, RADIUS, RAMP, SPEED, bench_config, make_data  # noqa: E402
+from bench import H, W, N_SCANS, RADIUS, RAMP, SPEED, bench_config, make_data  # noqa: E402
 from ptudes_tpu.models import lio, sim  # noqa: E402
 
 STAGES = [
@@ -49,7 +49,11 @@ def classify(op_path: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=60)
+    ap.add_argument("--scans", type=int, default=N_SCANS,
+                    help="scan count the trace covers (per-scan "
+                         "normalization divisor; default: bench N_SCANS)")
     args = ap.parse_args()
+    ns = args.scans
 
     files = glob.glob("/tmp/ptudes_trace/**/*.trace.json.gz", recursive=True)
     assert files, "run tools/profile_trace.py first"
@@ -107,17 +111,17 @@ def main():
         if not top_level:
             stage_us[classify(path or name)] += us
 
-    print("=== per-stage (leaf ops only), us/scan over 50 scans ===")
+    print(f"=== per-stage (leaf ops only), us/scan over {ns} scans ===")
     tot = 0.0
     for k, v in sorted(stage_us.items(), key=lambda kv: -kv[1]):
-        print(f"  {v / 50:8.1f}  {k}")
+        print(f"  {v / ns:8.1f}  {k}")
         tot += v
-    print(f"  {tot / 50:8.1f}  TOTAL leaves\n")
+    print(f"  {tot / ns:8.1f}  TOTAL leaves\n")
 
     print("=== top ops (full op_name path) ===")
     for us, name, path, top in sorted(rows, key=lambda r: -r[0])[:args.top]:
         tag = "[parent] " if top else ""
-        print(f"{us / 50:9.1f} us/scan x{cnt[name] // 50:<4d} {tag}{name[:28]:28s} {path[-120:]}")
+        print(f"{us / ns:9.1f} us/scan x{cnt[name] // ns:<4d} {tag}{name[:28]:28s} {path[-120:]}")
 
 
 if __name__ == "__main__":
