@@ -8,6 +8,7 @@ produce PLY maps / camera programs / matplotlib figures instead.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import click
@@ -826,11 +827,35 @@ def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
               help="Channel to render (reference SimpleViz cycles "
               "LidarScan fields; dual-return *2 channels need a DUAL/"
               "FUSA profile recording)")
-def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name):
-    """Raw scan viewer: destaggered channel images as matplotlib
-    figures — one scan (--out-png/interactive) or the whole stream
-    (--out-dir) (reference ``ptudes viz`` uses the OpenGL SimpleViz,
+@click.option("--serve", is_flag=True,
+              help="LIVE playback: export the stream and serve the "
+              "inline-WebGL player (channel strip + 3D cloud at sensor "
+              "rate, pause/rate/scrub keys — the reference's SimpleViz "
+              "experience, src/ptudes/cli/viz.py:49-62)")
+@click.option("--stream-dir", type=click.Path(), default=None,
+              help="Export the WebGL player + stream blobs here "
+              "without serving")
+@click.option("--port", type=int, default=8126, help="--serve port")
+def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name,
+            serve, stream_dir, port):
+    """Raw scan viewer: live WebGL playback (--serve / --stream-dir),
+    or destaggered channel images as matplotlib figures — one scan
+    (--out-png/interactive) or the whole stream (--out-dir)
+    (reference ``ptudes viz`` plays live in the OpenGL SimpleViz,
     ``src/ptudes/cli/viz.py``)."""
+    if serve or stream_dir:
+        from ..viz.stream_player import export_stream, serve_dir
+
+        info, scans, imu, _ = _load_source(file, meta, keep_fields=True)
+        if not len(scans):
+            raise click.ClickException("no scans decoded")
+        d = stream_dir or (os.path.splitext(str(file))[0] + "_stream")
+        out = export_stream(d, info, scans)
+        print(f"player -> {out}")
+        if serve:
+            serve_dir(d, port)
+        return
+
     import jax.numpy as jnp
     import matplotlib
     if out_png or out_dir:

@@ -35,7 +35,7 @@ class XyzLut(NamedTuple):
     offset: jax.Array     # [H, W, 3] f32
 
 
-def make_xyz_lut(
+def make_xyz_lut_np(
     w: int,
     h: int,
     beam_altitude_deg: np.ndarray,
@@ -43,8 +43,12 @@ def make_xyz_lut(
     lidar_origin_to_beam_origin_mm: float = 0.0,
     lidar_to_sensor_transform: np.ndarray | None = None,
     extrinsic: np.ndarray | None = None,
-) -> XyzLut:
-    """Build the projection LUT on host (numpy, f64) then cast to f32."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the projection LUT on host: (direction, offset) numpy f64.
+
+    Host-only variant (no jax device placement) — viz/export tools use
+    this directly so they never touch the accelerator (first transfer
+    through the axon TPU tunnel stalls ~150 s)."""
     alt = np.asarray(beam_altitude_deg, np.float64) * (np.pi / 180.0)
     azi = np.asarray(beam_azimuth_deg, np.float64) * (np.pi / 180.0)
     assert alt.shape == (h,) and azi.shape == (h,)
@@ -83,7 +87,23 @@ def make_xyz_lut(
     r3, t3 = tf[:3, :3], tf[:3, 3]
     direction = direction @ r3.T
     offset = offset @ r3.T + t3
+    return direction, offset
 
+
+def make_xyz_lut(
+    w: int,
+    h: int,
+    beam_altitude_deg: np.ndarray,
+    beam_azimuth_deg: np.ndarray,
+    lidar_origin_to_beam_origin_mm: float = 0.0,
+    lidar_to_sensor_transform: np.ndarray | None = None,
+    extrinsic: np.ndarray | None = None,
+) -> XyzLut:
+    """Build the projection LUT on host (numpy, f64) then cast to f32."""
+    direction, offset = make_xyz_lut_np(
+        w, h, beam_altitude_deg, beam_azimuth_deg,
+        lidar_origin_to_beam_origin_mm, lidar_to_sensor_transform,
+        extrinsic)
     return XyzLut(
         direction=jnp.asarray(direction, jnp.float32),
         offset=jnp.asarray(offset, jnp.float32),
