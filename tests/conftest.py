@@ -31,6 +31,21 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", None)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run tests marked slow (big shard_map compiles / long "
+             "integrations). Default runs the fast tier so the suite is "
+             "cheap enough to run before every commit; run --full before "
+             "any release/snapshot.")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: big XLA:CPU compiles / long integration runs — "
+                   "skipped unless --full (or -m slow) is given")
+
+
 def pytest_collection_modifyitems(session, config, items):
     # The 8-device shard_map programs (test_parallel) are the largest
     # XLA:CPU compiles in the suite. After ~100 tests' worth of
@@ -40,6 +55,14 @@ def pytest_collection_modifyitems(session, config, items):
     # Run them FIRST, while the process is clean — stable sort keeps the
     # usual order otherwise.
     items.sort(key=lambda it: 0 if "test_parallel" in it.nodeid else 1)
+    # two-tier suite: the slow tier only runs with --full (or an explicit
+    # -m slow selection)
+    if not config.getoption("--full") and not config.getoption("-m"):
+        skip = pytest.mark.skip(
+            reason="slow tier: run with --full (pre-release) or -m slow")
+        for it in items:
+            if "slow" in it.keywords:
+                it.add_marker(skip)
 
 
 @pytest.fixture(autouse=True, scope="module")

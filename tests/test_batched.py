@@ -16,6 +16,9 @@ CAP = 1 << 12
 PPV = 8
 
 
+pytestmark = pytest.mark.slow  # big 8-device shard_map compiles; fast tier skips (run with --full)
+
+
 def _rand_frames(seed, b, n):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-6, 6, size=(b, n, 3)).astype(np.float32)

@@ -18,6 +18,7 @@ from ptudes_tpu.utils.checkpoint import (checkpoint_extra, load_state,
 from test_lio import make_cfg, sim_run  # noqa: F401 (fixture reuse)
 
 
+@pytest.mark.slow
 def test_roundtrip_and_split_resume(sim_run, tmp_path):  # noqa: F811
     sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
     cfg = make_cfg()

@@ -50,6 +50,7 @@ def test_stat(fixture_dir):
     assert "scans: 8" in out and "grav vector est" in out.lower()
 
 
+@pytest.mark.slow
 def test_ekf_bench_ouster_flagship(fixture_dir):
     d, pcap, meta, gt = fixture_dir
     poses = str(d / "out_poses.txt")
@@ -62,6 +63,7 @@ def test_ekf_bench_ouster_flagship(fixture_dir):
     assert "ATE" in out
 
 
+@pytest.mark.slow
 def test_ekf_bench_ouster_online(fixture_dir):
     d, pcap, meta, gt = fixture_dir
     out = _run(["ekf-bench", "ouster", pcap, "-m", meta,

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from ptudes_tpu.config import Capacity, EkfConfig, KissConfig, PipelineConfig
 from ptudes_tpu.models import lio, sim
@@ -27,6 +28,7 @@ def test_covariance_sampling_statistics():
     assert axes.shape == (300, 3)
 
 
+@pytest.mark.slow
 def test_export_and_load_back(tmp_path):
     n = 6
     ts, _ = sim.circle_trajectory(n + 1, radius=8.0, speed=2.0,

@@ -64,6 +64,7 @@ def _track_err(out, gt_mid):
     return np.linalg.norm(kp[:, :3, 3] - rel[:, :3, 3], axis=1)
 
 
+@pytest.mark.slow
 def test_all_zero_scan_mid_sequence(small_run):
     """A completely empty frame (all returns missing) must not corrupt the
     carry; tracking recovers on the following scans."""
@@ -116,6 +117,7 @@ def test_imu_gap_spanning_multiple_scans(small_run):
     assert err[-1] < 0.6, f"no recovery after IMU gap: {err[-1]:.3f} m"
 
 
+@pytest.mark.slow
 def test_teleport_guess_zero_correspondences(small_run):
     """A wildly wrong external guess (teleport far outside the map) yields
     zero correspondences; ICP must return the guess unchanged and stay

@@ -63,6 +63,7 @@ def rel_gt(poses):
     return np.einsum("ij,njk->nik", np.linalg.inv(poses[0]), poses)
 
 
+@pytest.mark.slow
 def test_ekf_guess_lio_tracks(sim_run):
     """Loosely-coupled LIO (--use-imu-prediction equivalent) stays locked
     to ground truth over the full circle."""
@@ -82,6 +83,7 @@ def test_ekf_guess_lio_tracks(sim_run):
     assert abs(float(jnp.linalg.norm(fin.ekf.vel)) - 2.0) < 0.5
 
 
+@pytest.mark.slow
 def test_gt_guess_mode(sim_run):
     sensor, ts, poses, scans, imu, imu_ts = sim_run
     cfg = make_cfg("gt")
@@ -134,6 +136,7 @@ def test_epoch_scale_timestamps(sim_run):
                                np.asarray(out0.ekf_pose), rtol=0, atol=0.01)
 
 
+@pytest.mark.slow
 def test_vmap_multibag(sim_run):
     """8-way-style batched replay (BASELINE config 5) — here 2 sequences
     on the virtual device mesh's host platform."""
@@ -163,6 +166,7 @@ def test_vmap_multibag(sim_run):
         assert np.mean(kerr**2) < 0.05
 
 
+@pytest.mark.slow
 def test_bootstrap_split_matches_full_overflow(sim_run):
     """bootstrap_scans=k (steady tail without the insert overflow loop)
     must track the full-overflow pipeline: on a slow-turnover scene the

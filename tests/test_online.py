@@ -1,6 +1,7 @@
 """Streaming driver parity: scan-by-scan LioOnline must match the batch
 run_sequence on the same data (same scan_step, same IMU windowing)."""
 import numpy as np
+import pytest
 import jax
 
 from ptudes_tpu.models import lio
@@ -9,6 +10,7 @@ from ptudes_tpu.models.online import LioOnline
 from test_lio import make_cfg, sim_run  # noqa: F401 (fixture reuse)
 
 
+@pytest.mark.slow
 def test_online_matches_batch(sim_run):  # noqa: F811
     sensor, ts, gt_mid, scans, imu, imu_ts = sim_run
     cfg = make_cfg()

@@ -12,6 +12,9 @@ from ptudes_tpu.parallel import replay, sharded
 N_SCANS = 8
 
 
+pytestmark = pytest.mark.slow  # big 8-device shard_map compiles; fast tier skips (run with --full)
+
+
 def make_cfg(guess="ekf"):
     return PipelineConfig(
         kiss=KissConfig(max_range=30.0, min_range=1.0,
