@@ -3,8 +3,8 @@
 Replaces the reference's ``rosbags.highlevel.AnyReader`` dependency
 (``src/ptudes/bag.py:8,41,110``) for the message types the pipeline needs:
 ``ouster_ros/msg/PacketMsg`` (raw lidar/IMU packet buffers) and
-``sensor_msgs/msg/Imu``. Supports uncompressed and bz2-compressed chunks
-(lz4 is reported with a clear error; it is not in this image).
+``sensor_msgs/msg/Imu``. Supports uncompressed, bz2- and lz4-compressed
+chunks (lz4 frame decoding via the dependency-free ``io.lz4f`` codec).
 
 Format reference: the public ROS bag 2.0 spec — records of
 (header_len, header fields, data_len, data), with Chunk records embedding
@@ -13,6 +13,8 @@ Connection and MessageData records.
 from __future__ import annotations
 
 import bz2
+
+from . import lz4f
 import struct
 from dataclasses import dataclass
 from typing import Iterator
@@ -108,13 +110,7 @@ class RosbagReader:
                         if comp == "bz2":
                             data = bz2.decompress(data)
                         elif comp == "lz4":
-                            try:
-                                import lz4.frame  # noqa
-                                data = lz4.frame.decompress(data)
-                            except ImportError as e:
-                                raise RuntimeError(
-                                    "bag uses lz4 chunks; lz4 is not "
-                                    "available in this environment") from e
+                            data = lz4f.frame_decompress(data)
                         elif comp != "none":
                             raise ValueError(f"unknown compression {comp}")
                         for h2, d2 in self._iter_chunk(data):
@@ -188,11 +184,7 @@ class RosbagReader:
                         if comp == "bz2":
                             data = bz2.decompress(data)
                         elif comp == "lz4":
-                            try:
-                                import lz4.frame  # noqa
-                                data = lz4.frame.decompress(data)
-                            except ImportError:
-                                continue  # discovery best-effort
+                            data = lz4f.frame_decompress(data)
                         elif comp != "none":
                             continue
                         for h2, d2 in self._iter_chunk(data):
@@ -247,8 +239,11 @@ def write_simple_bag(
     *,
     messages_per_chunk: int | None = None,
     write_index: bool = False,
+    compression: str = "none",
 ) -> None:
-    """Write a minimal uncompressed ROS1 bag (test fixtures).
+    """Write a minimal ROS1 bag (test fixtures). ``compression``:
+    "none", "bz2" or "lz4" (chunk payloads compressed like rosbag
+    record's --bz2/--lz4 output; lz4 via the stdlib-only io.lz4f).
 
     messages: list of (topic, msgtype, md5sum, ts_ns, raw).
 
@@ -312,12 +307,21 @@ def write_simple_bag(
          b"chunk_count": struct.pack("<I", len(chunks))},
         b" " * 4096,  # spec pads the header record
     )
-    body = b"".join(
-        rec({b"op": bytes([OP_CHUNK]),
-             b"compression": b"none",
-             b"size": struct.pack("<I", len(chunk))},
-            chunk)
-        for chunk in chunks)
+    def pack_chunk(chunk: bytes) -> bytes:
+        if compression == "bz2":
+            payload = bz2.compress(chunk)
+        elif compression == "lz4":
+            payload = lz4f.frame_compress(chunk)
+        elif compression == "none":
+            payload = chunk
+        else:
+            raise ValueError(f"unknown compression {compression!r}")
+        return rec({b"op": bytes([OP_CHUNK]),
+                    b"compression": compression.encode(),
+                    b"size": struct.pack("<I", len(chunk))},
+                   payload)
+
+    body = b"".join(pack_chunk(chunk) for chunk in chunks)
     magic = b"#ROSBAG V2.0\n"
     index_pos = 0
     if write_index:
