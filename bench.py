@@ -78,12 +78,16 @@ def bench_config():
         # insert retry path (ATE measured unchanged, +5% throughput).
         # dedup_table 2^18: first-in-voxel scatter tables sized to ~2x the
         # raw point count; collisions just strengthen the downsample.
-        # max_source=4096: the ~6.2k deduped source decimates evenly to
-        # 4096 (scan-order-unbiased), halving the per-iteration GN width
-        # and the candidate gathers (+5.5% measured at ATE parity).
-        cap=Capacity(max_points=H * W, max_frame=32768, max_source=4096,
+        # max_source=2048 (round 4): the deduped source decimates evenly
+        # (scan-order-unbiased), so halving again from 4096 halves every
+        # ICP gather row count and GN width at MEASURED ATE parity
+        # (327.7 -> 342.4 scans/s, 0.0134 -> 0.0137; tools/exp_r4b.py).
+        # max_new_per_scan=2048: insert scatter/claim cost is per ROW of
+        # the op, paid even when few points are new; 2048 keeps the map
+        # converging (1024 starves: ATE 0.0169) at +4% throughput.
+        cap=Capacity(max_points=H * W, max_frame=32768, max_source=2048,
                      map_capacity=1 << 19, dedup_table=1 << 18,
-                     max_new_per_scan=4096, max_probes=1),
+                     max_new_per_scan=2048, max_probes=1),
         ekf=EkfConfig(),
         max_imu_per_scan=16,
         guess="ekf",
@@ -292,10 +296,18 @@ def main():
         },
         "replica_aggregate_scans_per_sec": replicas,
         "replica_note": "replica-fused batched driver (parallel/batched.py"
-                        "): all replica maps in one flat hash table, so "
-                        "the insert scatters stay unbatched; plain vmap "
-                        "collapses (r2: x2=10.8). Cross-chip scaling uses "
-                        "the bag mesh axis (parallel/replay.py)",
+                        "): replica maps in ONE flat table (insert "
+                        "scatters unbatched) and r4's indices-only-vmap "
+                        "candidate gathers (map in_axes=None). Plain vmap "
+                        "collapses (r2: x2=10.8); the fused driver "
+                        "recovers to x2~181/x4~294 aggregate but still "
+                        "LOSES to serial per-chip (~343): per-row "
+                        "gather/scatter cost scales with total rows, so "
+                        "batching only amortizes the small fixed per-scan "
+                        "cost. One sequence per chip is optimal for "
+                        "throughput; the batched driver is a memory-"
+                        "packing / sweep tool, and cross-chip scaling "
+                        "uses the bag mesh axis (parallel/replay.py)",
         "compile_s": round(tpu["compile_s"], 1),
         "device": tpu["device"],
     }

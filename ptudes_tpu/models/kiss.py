@@ -101,7 +101,8 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
 
 @partial(jax.jit, inline=True,
          static_argnames=("cfg", "cap", "use_guess", "grid_hw",
-                          "insert_overflow", "axis_name", "defer_insert"))
+                          "insert_overflow", "axis_name", "defer_insert",
+                          "map_logical_capacity"))
 def register_scan(
     state: KissState,
     pts: jax.Array,        # [N, 3] points in the sensor/nav frame
@@ -118,6 +119,8 @@ def register_scan(
     insert_overflow: bool | str = True,
     axis_name: str | None = None,
     defer_insert: bool = False,
+    map_slot_base: jax.Array | None = None,
+    map_logical_capacity: int | None = None,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
@@ -153,6 +156,14 @@ def register_scan(
     if axis_name is not None:
         assert cfg.nn_mode == "cached", (
             "point-sharded registration requires nn_mode='cached'")
+    if map_slot_base is not None:
+        # flat multi-replica table mode (parallel.batched): the carried
+        # local_map is the UNBATCHED flat table; ICP probes add the
+        # per-replica slot base so vmapping this step keeps the
+        # candidate gathers unbatched (see ops.icp.gather_candidates)
+        assert defer_insert, "flat-map mode requires defer_insert"
+        assert cfg.nn_mode == "cached", "flat-map mode requires cached NN"
+        assert map_logical_capacity is not None
 
     # 1. deskew (no-op until two poses exist: twist is zero then)
     if cfg.deskew:
@@ -249,6 +260,8 @@ def register_scan(
             gn_backend=cfg.gn_backend,
             gn_unroll=cfg.gn_unroll,
             axis_name=axis_name,
+            slot_base=map_slot_base,
+            logical_capacity=map_logical_capacity,
         )
     else:
         res = icp.register_frame(

@@ -149,7 +149,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
                    insert_overflow: bool | str = True, log: bool = False,
                    axis_name: str | None = None,
                    defer_insert: bool = False,
-                   pack_out: bool = False):
+                   pack_out: bool = False,
+                   map_logical_capacity: int | None = None):
     """Build the jittable scan_step closure over the projection LUT.
 
     ``insert_overflow=False`` builds the STEADY-state body: the map insert
@@ -179,10 +180,21 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
     :func:`unpack_out`) instead of the LioOut pytree — the lax.scan
     drivers use this to pay one output dynamic-update-slice per scan
     instead of ~15 (log mode excluded: the FilterLog arrays stay
-    unpacked)."""
-    assert not (pack_out and log), "pack_out applies to the log=False path"
+    unpacked).
 
-    def scan_step(state: LioState, batch: ScanBatch):
+    ``map_logical_capacity``: flat multi-replica map mode (requires
+    ``defer_insert``) — ``state.kiss.local_map`` is the UNBATCHED flat
+    B-replica table (``hashmap.create_batched``) and the step takes a
+    third argument, the replica's scalar slot base. The batched driver
+    vmaps this step with ``in_axes=None`` on the map leaves so the ICP
+    candidate gathers stay unbatched (batched gathers row-serialize per
+    replica, like the batched scatters the flat insert avoids)."""
+    assert not (pack_out and log), "pack_out applies to the log=False path"
+    if map_logical_capacity is not None:
+        assert defer_insert, "flat-map mode requires defer_insert"
+
+    def scan_step(state: LioState, batch: ScanBatch,
+                  map_slot_base: jax.Array | None = None):
         # 1. EKF predict over the scan's IMU block (reference interleaves
         #    ~10 IMUs per scan, ekf_bench.py:491-518)
         ekf0_pose = esekf.pose_mat(state.ekf)
@@ -229,7 +241,9 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             deskew_twist=deskew_twist, update_ok=has_imu,
             grid_hw=(h, w // cfg.col_decimation),
             insert_overflow=insert_overflow, axis_name=axis_name,
-            defer_insert=defer_insert)
+            defer_insert=defer_insert,
+            map_slot_base=map_slot_base,
+            map_logical_capacity=map_logical_capacity)
         if defer_insert:
             kiss1, pose, aux, deferred = reg
         else:
@@ -240,6 +254,13 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
         ekf2 = esekf.process_pose(ekf1, pose, cfg=cfg.ekf)
         ekf_out = esekf.masked_update(ekf1, ekf2, has_imu)
         out_state = LioState(kiss=kiss1, ekf=ekf_out)
+        if map_logical_capacity is not None:
+            # flat-map mode: return an EMPTY map placeholder — the flat
+            # table is carried by the driver, and returning the (vmap-
+            # unbatched) full table would make vmap broadcast B copies
+            out_state = out_state._replace(kiss=out_state.kiss._replace(
+                local_map=jax.tree.map(lambda x: x[:0],
+                                       out_state.kiss.local_map)))
 
         if log:
             # fold the pose update into the scan's LAST valid IMU entry

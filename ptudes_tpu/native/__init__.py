@@ -90,8 +90,33 @@ def get_lib():
         np.ctypeslib.ndpointer(np.float32, flags="C"),
         np.ctypeslib.ndpointer(np.float32, flags="C"),
     ]
+    lib.lz4_block_decompress.restype = i64
+    lib.lz4_block_decompress.argtypes = [u8p, i64, u8p, i64]
     _lib = lib
     return _lib
+
+
+def lz4_block_decompress(src: bytes) -> bytes | None:
+    """Native LZ4 block decode, or None (numpy/pure-Python fallback).
+
+    Grows the output buffer on overflow (-2); -1 (malformed) raises the
+    same ValueError contract as the Python decoder in ``io.lz4f``."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(src, np.uint8)
+    cap = max(4 * len(src), 1 << 16)
+    while True:
+        out = np.zeros(cap, np.uint8)
+        r = lib.lz4_block_decompress(buf, len(buf), out, cap)
+        if r == -2:
+            cap *= 4
+            if cap > (1 << 31):
+                raise ValueError("lz4: output exceeds limit")
+            continue
+        if r < 0:
+            raise ValueError("lz4: malformed block")
+        return out[:r].tobytes()
 
 
 def pcap_split_udp(data: np.ndarray):

@@ -343,4 +343,55 @@ void parse_imu(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
     }
 }
 
+
+// LZ4 block decompression (frame layer stays in Python — io/lz4f.py).
+// Returns decompressed length, -1 on malformed input, -2 when dst_cap
+// is too small (caller grows the buffer and retries).
+int64_t lz4_block_decompress(const uint8_t* src, int64_t n,
+                             uint8_t* dst, int64_t dst_cap) {
+    int64_t i = 0, o = 0;
+    while (i < n) {
+        uint8_t token = src[i++];
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (i >= n) return -1;
+                b = src[i++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (lit) {
+            if (i + lit > n) return -1;
+            if (o + lit > dst_cap) return -2;
+            std::memcpy(dst + o, src + i, (size_t)lit);
+            i += lit; o += lit;
+        }
+        if (i >= n) break;  // last sequence: literals only
+        if (i + 2 > n) return -1;
+        int64_t offset = src[i] | ((int64_t)src[i + 1] << 8);
+        i += 2;
+        if (offset == 0 || offset > o) return -1;
+        int64_t mlen = token & 0xF;
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (i >= n) return -1;
+                b = src[i++];
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += 4;
+        if (o + mlen > dst_cap) return -2;
+        const uint8_t* from = dst + o - offset;
+        if (offset >= mlen) {
+            std::memcpy(dst + o, from, (size_t)mlen);
+        } else {
+            for (int64_t k = 0; k < mlen; k++) dst[o + k] = from[k];
+        }
+        o += mlen;
+    }
+    return o;
+}
+
 }  // extern "C"

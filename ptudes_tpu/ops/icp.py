@@ -85,6 +85,8 @@ def gather_candidates(
     n_voxels: int = 4,
     fit_planes: bool = True,
     plane_radius: float | None = None,
+    slot_base: jax.Array | None = None,
+    logical_capacity: int | None = None,
 ) -> CandidateSet:
     """Fetch the ``n_voxels`` nearest candidate voxels' point lists.
 
@@ -94,8 +96,19 @@ def gather_candidates(
     too: voxel contents don't change during ICP, so normals are
     loop-invariant. ``plane_radius`` bounds the patch around the query
     point (default 1.5 * voxel_size).
+
+    ``slot_base``/``logical_capacity``: flat multi-replica table mode
+    (``hashmap.create_batched`` layout) — hashing uses the logical
+    per-replica capacity and every probe adds the scalar ``slot_base``
+    (= replica * logical_capacity). The point of this plumbing: the
+    replica-batched driver vmaps the scan step with the table UNBATCHED
+    (in_axes None) and only ``slot_base`` batched, so these gathers
+    lower as single flat-index-space gathers instead of batched gathers
+    (which serialize per row per replica, like the batched scatters the
+    flat insert already avoids — docs/PERF.md).
     """
-    cap = vmap_.meta.shape[0]
+    cap_total = vmap_.meta.shape[0]
+    cap = cap_total if logical_capacity is None else logical_capacity
     ppv = vmap_.points.shape[1]
     mnum = pts_w.shape[0]
     from .voxel import voxel_coords
@@ -123,12 +136,14 @@ def gather_candidates(
         keys = qc[:, None, :] + offsets[None, :, :]           # [M, J, 3]
     fp, h0 = hashmap._fingerprint_and_slot(keys, cap)         # [M, J]
 
-    found_slot = jnp.full((mnum, neighborhood), cap, jnp.int32)
+    found_slot = jnp.full((mnum, neighborhood), cap_total, jnp.int32)
     found = jnp.zeros((mnum, neighborhood), bool)
     cnt = jnp.zeros((mnum, neighborhood), jnp.int32)
     rep = jnp.zeros((mnum, neighborhood, 3), jnp.float32)
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
+        if slot_base is not None:
+            s = s + slot_base
         rows = vmap_.meta.at[s].get(mode="fill", fill_value=0)
         match = (rows[..., 0] == fp) & ~found
         found_slot = jnp.where(match, s, found_slot)
@@ -270,7 +285,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
         "voxel_size", "max_probes", "max_iterations", "loss",
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
         "neighborhood", "n_voxels", "plane_radius", "gn_backend",
-        "refresh_drift", "gn_unroll", "axis_name",
+        "refresh_drift", "gn_unroll", "axis_name", "logical_capacity",
     ),
 )
 def register_frame_cached(
@@ -296,6 +311,8 @@ def register_frame_cached(
     refresh_drift: float = 0.5,
     gn_unroll: int = 1,
     axis_name: str | None = None,
+    slot_base: jax.Array | None = None,
+    logical_capacity: int | None = None,
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
 
@@ -366,6 +383,7 @@ def register_frame_cached(
             voxel_size=voxel_size, max_probes=max_probes,
             neighborhood=neighborhood, n_voxels=n_voxels,
             fit_planes=fit_planes, plane_radius=plane_radius,
+            slot_base=slot_base, logical_capacity=logical_capacity,
         )
 
     if not refresh and gn_backend in ("pallas", "fused"):

@@ -100,3 +100,23 @@ def test_compressed_bag_roundtrip(tmp_path, compression):
     assert len(scans) == 2
     assert np.array_equal(scans.range_mm, truth)
     assert len(imu) == 1
+
+
+def test_native_matches_python(monkeypatch):
+    """Differential: the C++ block decoder and the pure-Python body must
+    agree on every input (the Python body is forced by stubbing the
+    native hook to 'unavailable')."""
+    from ptudes_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(21)
+    for _ in range(25):
+        n = rng.randrange(0, 3000)
+        base = bytes(rng.randrange(6) for _ in range(max(1, n // 5)))
+        data = (base * 10)[:n]
+        c = lz4f.block_compress(data)
+        nat = native.lz4_block_decompress(c)
+        assert nat == data
+        with monkeypatch.context() as m:
+            m.setattr(native, "lz4_block_decompress", lambda _: None)
+            assert lz4f.block_decompress(c) == data
