@@ -84,3 +84,25 @@ def combos():
     ]
     for name, cfg in variants:
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
+
+
+def combos2():
+    """map_capacity sizing: the lax.scan carry boundary copies are
+    map-table dominated (~290 us/scan at 2^19 slots x (8+8) i32). The
+    bench map holds ~50k occupied voxels — 2^18 doubles the load factor
+    (~10% -> 20%, more home-slot misses at max_probes=1) but halves the
+    boundary traffic."""
+    scans, scan_ts, gt_mid, imu_ts = make_data()
+    sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
+    imu = sim.imu_for_circle(imu_ts, radius=RADIUS, speed=SPEED, ramp=RAMP)
+    base = bench_config()
+    variants = [
+        ("cap18", replace(base, cap=replace(
+            base.cap, map_capacity=1 << 18))),
+        ("cap18+p2", replace(base, cap=replace(
+            base.cap, map_capacity=1 << 18, max_probes=2))),
+        ("cap17", replace(base, cap=replace(
+            base.cap, map_capacity=1 << 17))),
+    ]
+    for name, cfg in variants:
+        run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
