@@ -65,6 +65,11 @@ def make_data():
 
 
 def main():
+    # same tunnel-outage watchdog as bench.py: device acquisition through
+    # the axon relay can block indefinitely; fail loudly instead
+    from bench import _device_watchdog
+    _device_watchdog()
+
     import jax
     from ptudes_tpu.config import (Capacity, EkfConfig, KissConfig,
                                    PipelineConfig)
