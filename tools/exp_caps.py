@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 from bench import H, W, RADIUS, RAMP, SPEED, bench_config, make_data  # noqa: E402
+from bench import _device_watchdog  # noqa: E402
 from ptudes_tpu.config import Capacity, KissConfig  # noqa: E402
 from ptudes_tpu.models import lio, sim  # noqa: E402
 from ptudes_tpu.utils.metrics import calc_ate_rmse  # noqa: E402
@@ -52,6 +53,7 @@ def run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu):
 
 
 def main():
+    _device_watchdog()
     scans, scan_ts, gt_mid, imu_ts = make_data()
     sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
     imu = sim.imu_for_circle(imu_ts, radius=RADIUS, speed=SPEED, ramp=RAMP)

@@ -106,3 +106,21 @@ def combos2():
     ]
     for name, cfg in variants:
         run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)
+
+
+def combos3():
+    """Cheap residual knobs at the 342 operating point."""
+    scans, scan_ts, gt_mid, imu_ts = make_data()
+    sensor = sim.make_sim_sensor(h=H, w=W, fov_deg=90.0)
+    imu = sim.imu_for_circle(imu_ts, radius=RADIUS, speed=SPEED, ramp=RAMP)
+    base = bench_config()
+    variants = [
+        ("dedup17", replace(base, cap=replace(
+            base.cap, dedup_table=1 << 17))),
+        ("frame16k", replace(base, cap=replace(
+            base.cap, max_frame=16384))),
+        ("boot2", replace(base, bootstrap_scans=2)),
+        ("boot4", replace(base, bootstrap_scans=4)),
+    ]
+    for name, cfg in variants:
+        run_variant(name, cfg, scans, scan_ts, gt_mid, imu_ts, sensor, imu)

@@ -24,11 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 from bench import H, W, N_SCANS, RADIUS, RAMP, SPEED, bench_config, make_data  # noqa: E402
+from bench import _device_watchdog  # noqa: E402
 from ptudes_tpu.models import lio, sim  # noqa: E402
 from ptudes_tpu.parallel import batched, replay  # noqa: E402
 
 
 def main():
+    _device_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--replicas", type=int, default=2)

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 from bench import H, W, N_SCANS, RADIUS, RAMP, SPEED, bench_config, make_data  # noqa: E402
+from bench import _device_watchdog  # noqa: E402
 from ptudes_tpu.models import lio, sim  # noqa: E402
 
 STAGES = [
@@ -47,6 +48,7 @@ def classify(op_path: str) -> str:
 
 
 def main():
+    _device_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=60)
     ap.add_argument("--scans", type=int, default=N_SCANS,
