@@ -25,63 +25,74 @@ _SKIP_MAGIC_LO = 0x184D2A50  # 0x184D2A50..5F are skippable frames
 MIN_MATCH = 4
 
 
-def block_decompress(src: bytes, max_out: int = 1 << 30) -> bytes:
+def block_decompress(src: bytes, max_out: int = 1 << 30,
+                     history: bytes = b"") -> bytes:
     """Decompress one raw LZ4 block (no frame header).
 
+    ``history``: previously-decoded output for block-LINKED frames —
+    matches may reach back up to 64 KB into it (the LZ4 window). Only
+    the decoded bytes of THIS block are returned.
+
     Uses the native C++ decoder when available (~100x the pure-Python
-    throughput; identical ValueError contract on malformed input), with
-    this function's pure-Python body as the always-available fallback."""
+    throughput; same ValueError contract on malformed input), with the
+    pure-Python body as the always-available fallback."""
     from .. import native
-    nat = native.lz4_block_decompress(src)
+    nat = native.lz4_block_decompress(src, max_out=max_out,
+                                      history=history)
     if nat is not None:
         return nat
-    out = bytearray()
+    out = bytearray(history)
+    h0 = len(out)
     i, n = 0, len(src)
-    while i < n:
-        token = src[i]
-        i += 1
-        # literals
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = src[i]
-                i += 1
-                lit += b
-                if b != 255:
-                    break
-        if lit:
-            if i + lit > n:
-                raise ValueError("lz4: literal run past end of block")
-            out += src[i:i + lit]
-            i += lit
-        if i >= n:
-            break  # last sequence carries literals only
-        # match
-        offset = src[i] | (src[i + 1] << 8)
-        i += 2
-        if offset == 0:
-            raise ValueError("lz4: zero match offset")
-        mlen = token & 0xF
-        if mlen == 15:
-            while True:
-                b = src[i]
-                i += 1
-                mlen += b
-                if b != 255:
-                    break
-        mlen += MIN_MATCH
-        start = len(out) - offset
-        if start < 0:
-            raise ValueError("lz4: match offset before block start")
-        # overlapping copy semantics: byte-by-byte from start
-        if offset >= mlen:
-            out += out[start:start + mlen]
-        else:
-            for k in range(mlen):
-                out.append(out[start + k])
-        if len(out) > max_out:
-            raise ValueError("lz4: output exceeds limit")
-    return bytes(out)
+    try:
+        while i < n:
+            token = src[i]
+            i += 1
+            # literals
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    lit += b
+                    if b != 255:
+                        break
+            if lit:
+                if i + lit > n:
+                    raise ValueError("lz4: literal run past end of block")
+                out += src[i:i + lit]
+                i += lit
+            if i >= n:
+                break  # last sequence carries literals only
+            # match
+            offset = src[i] | (src[i + 1] << 8)
+            i += 2
+            if offset == 0:
+                raise ValueError("lz4: zero match offset")
+            mlen = token & 0xF
+            if mlen == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    mlen += b
+                    if b != 255:
+                        break
+            mlen += MIN_MATCH
+            start = len(out) - offset
+            if start < 0:
+                raise ValueError("lz4: match offset before block start")
+            # overlapping copy semantics: byte-by-byte from start
+            if offset >= mlen:
+                out += out[start:start + mlen]
+            else:
+                for k in range(mlen):
+                    out.append(out[start + k])
+            if len(out) - h0 > max_out:
+                raise ValueError("lz4: output exceeds limit")
+    except IndexError:
+        # truncated input: an extension-byte or offset read past the end
+        raise ValueError("lz4: truncated block") from None
+    return bytes(out[h0:])
 
 
 def _write_varlen(ba: bytearray, v: int) -> None:
@@ -147,47 +158,65 @@ def block_compress(data: bytes) -> bytes:
 
 def frame_decompress(buf: bytes) -> bytes:
     """Decompress a complete LZ4 frame stream (possibly multiple frames,
-    including skippable ones) to bytes."""
+    including skippable ones) to bytes.
+
+    Block-LINKED frames (the python-lz4 / lz4 CLI default: FLG bit 5
+    clear) are supported: each block decodes against the last 64 KB of
+    the frame's accumulated output, so cross-block match references
+    resolve exactly as the reference's ``lz4.frame.decompress`` did."""
     out = bytearray()
     i, n = 0, len(buf)
-    while i + 4 <= n:
-        (magic,) = struct.unpack_from("<I", buf, i)
-        i += 4
-        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
-            (size,) = struct.unpack_from("<I", buf, i)
-            i += 4 + size
-            continue
-        if magic != FRAME_MAGIC:
-            raise ValueError(f"lz4: bad frame magic 0x{magic:08x}")
-        flg = buf[i]
-        i += 2  # FLG + BD
-        version = flg >> 6
-        if version != 1:
-            raise ValueError(f"lz4: unsupported frame version {version}")
-        block_indep = bool(flg & 0x20)  # noqa: F841  (parsed, unused)
-        block_cksum = bool(flg & 0x10)
-        has_content_size = bool(flg & 0x08)
-        content_cksum = bool(flg & 0x04)
-        has_dict_id = bool(flg & 0x01)
-        if has_content_size:
-            i += 8
-        if has_dict_id:
+    try:
+        while i + 4 <= n:
+            (magic,) = struct.unpack_from("<I", buf, i)
             i += 4
-        i += 1  # header checksum (xxh32 byte) — not verified
-        while True:
-            (bsize,) = struct.unpack_from("<I", buf, i)
-            i += 4
-            if bsize == 0:  # EndMark
-                break
-            uncompressed = bool(bsize & 0x80000000)
-            bsize &= 0x7FFFFFFF
-            blk = buf[i:i + bsize]
-            i += bsize
-            if block_cksum:
+            if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+                (size,) = struct.unpack_from("<I", buf, i)
+                i += 4 + size
+                continue
+            if magic != FRAME_MAGIC:
+                raise ValueError(f"lz4: bad frame magic 0x{magic:08x}")
+            flg = buf[i]
+            i += 2  # FLG + BD
+            version = flg >> 6
+            if version != 1:
+                raise ValueError(
+                    f"lz4: unsupported frame version {version}")
+            block_indep = bool(flg & 0x20)
+            block_cksum = bool(flg & 0x10)
+            has_content_size = bool(flg & 0x08)
+            content_cksum = bool(flg & 0x04)
+            has_dict_id = bool(flg & 0x01)
+            if has_content_size:
+                i += 8
+            if has_dict_id:
                 i += 4
-            out += blk if uncompressed else block_decompress(blk)
-        if content_cksum:
-            i += 4
+            i += 1  # header checksum (xxh32 byte) — not verified
+            frame_start = len(out)
+            while True:
+                (bsize,) = struct.unpack_from("<I", buf, i)
+                i += 4
+                if bsize == 0:  # EndMark
+                    break
+                uncompressed = bool(bsize & 0x80000000)
+                bsize &= 0x7FFFFFFF
+                blk = buf[i:i + bsize]
+                i += bsize
+                if block_cksum:
+                    i += 4
+                if uncompressed:
+                    out += blk
+                elif block_indep:
+                    out += block_decompress(blk)
+                else:
+                    # linked blocks: window is the last 64 KB of THIS
+                    # frame's output
+                    lo = max(frame_start, len(out) - 65536)
+                    out += block_decompress(blk, history=bytes(out[lo:]))
+            if content_cksum:
+                i += 4
+    except struct.error:
+        raise ValueError("lz4: truncated frame") from None
     return bytes(out)
 
 

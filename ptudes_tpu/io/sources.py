@@ -112,6 +112,19 @@ def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns,
         [[0], np.cumsum((d < -half).astype(np.int64)
                         - (d > half).astype(np.int64))])
     unwrapped = fid + (epoch << 16)
+    # mid-recording counter RESETS (sensor restart / concatenated
+    # segments): a drop beyond the reorder window that is not a 16-bit
+    # wrap must start a new segment, not merge temporally distant frames
+    # that happen to share ids. Shift every later value past the running
+    # max; restarts are rare, so the python loop runs ~once per restart.
+    reorder_w = 4
+    while True:
+        run_max = np.maximum.accumulate(unwrapped)
+        bad = np.nonzero(unwrapped < run_max - reorder_w)[0]
+        if bad.size == 0:
+            break
+        r = bad[0]
+        unwrapped[r:] += run_max[r - 1] + 1 - unwrapped[r]
     uniq, scan_idx = np.unique(unwrapped, return_inverse=True)
     n_scans = len(uniq)
 

@@ -91,32 +91,39 @@ def get_lib():
         np.ctypeslib.ndpointer(np.float32, flags="C"),
     ]
     lib.lz4_block_decompress.restype = i64
-    lib.lz4_block_decompress.argtypes = [u8p, i64, u8p, i64]
+    lib.lz4_block_decompress.argtypes = [u8p, i64, u8p, i64, i64]
     _lib = lib
     return _lib
 
 
-def lz4_block_decompress(src: bytes) -> bytes | None:
+def lz4_block_decompress(src: bytes, max_out: int = 1 << 30,
+                         history: bytes = b"") -> bytes | None:
     """Native LZ4 block decode, or None (numpy/pure-Python fallback).
 
-    Grows the output buffer on overflow (-2); -1 (malformed) raises the
-    same ValueError contract as the Python decoder in ``io.lz4f``."""
+    ``history`` pre-fills the match window (block-linked frames); only
+    the produced bytes are returned. Grows the output buffer on overflow
+    (-2) up to ``max_out``; -1 (malformed) raises the same ValueError
+    contract as the Python decoder in ``io.lz4f``."""
     lib = get_lib()
     if lib is None:
         return None
     buf = np.frombuffer(src, np.uint8)
-    cap = max(4 * len(src), 1 << 16)
+    hist = np.frombuffer(history, np.uint8)
+    hl = len(hist)
+    cap = min(max(4 * len(src), 1 << 16), max_out) + hl
     while True:
         out = np.zeros(cap, np.uint8)
-        r = lib.lz4_block_decompress(buf, len(buf), out, cap)
+        if hl:
+            out[:hl] = hist
+        r = lib.lz4_block_decompress(buf, len(buf), out, cap, hl)
         if r == -2:
-            cap *= 4
-            if cap > (1 << 31):
+            if cap - hl >= max_out:
                 raise ValueError("lz4: output exceeds limit")
+            cap = min((cap - hl) * 4, max_out) + hl
             continue
         if r < 0:
             raise ValueError("lz4: malformed block")
-        return out[:r].tobytes()
+        return out[hl:hl + r].tobytes()
 
 
 def pcap_split_udp(data: np.ndarray):

@@ -345,11 +345,14 @@ void parse_imu(const uint8_t* pkts, int64_t n_pkts, int64_t pkt_stride,
 
 
 // LZ4 block decompression (frame layer stays in Python — io/lz4f.py).
-// Returns decompressed length, -1 on malformed input, -2 when dst_cap
-// is too small (caller grows the buffer and retries).
+// dst is pre-filled with hist_len bytes of window history (block-linked
+// frames); output starts at hist_len and matches may reach into the
+// history. Returns the PRODUCED length (excluding history), -1 on
+// malformed input, -2 when dst_cap is too small (caller grows + retries).
 int64_t lz4_block_decompress(const uint8_t* src, int64_t n,
-                             uint8_t* dst, int64_t dst_cap) {
-    int64_t i = 0, o = 0;
+                             uint8_t* dst, int64_t dst_cap,
+                             int64_t hist_len) {
+    int64_t i = 0, o = hist_len;
     while (i < n) {
         uint8_t token = src[i++];
         int64_t lit = token >> 4;
@@ -371,7 +374,7 @@ int64_t lz4_block_decompress(const uint8_t* src, int64_t n,
         if (i + 2 > n) return -1;
         int64_t offset = src[i] | ((int64_t)src[i + 1] << 8);
         i += 2;
-        if (offset == 0 || offset > o) return -1;
+        if (offset == 0 || offset > o) return -1;  // o includes history
         int64_t mlen = token & 0xF;
         if (mlen == 15) {
             uint8_t b;
@@ -391,7 +394,7 @@ int64_t lz4_block_decompress(const uint8_t* src, int64_t n,
         }
         o += mlen;
     }
-    return o;
+    return o - hist_len;
 }
 
 }  // extern "C"

@@ -238,7 +238,12 @@ def export_stream(out_dir, info, scans, keep_fields=True):
     os.makedirs(out_dir, exist_ok=True)
     h, w = info.h, info.w
     n = len(scans)
-    shifts = np.asarray(info.pixel_shift_by_row, np.int64) % w
+    # SensorInfo constructed directly (not via read_metadata_json) may
+    # carry an empty/short shift list — missing shifts mean 0
+    raw_shifts = np.asarray(info.pixel_shift_by_row or [], np.int64)
+    shifts = np.zeros(h, np.int64)
+    shifts[:min(h, raw_shifts.size)] = raw_shifts[:h]
+    shifts %= w
 
     def destag(img):  # [..., H, W] roll each row by its shift
         out = np.empty_like(img)
@@ -270,10 +275,12 @@ def export_stream(out_dir, info, scans, keep_fields=True):
     field_names, field_max = [], {}
     if keep_fields and scans.fields:
         for name, img in sorted(scans.fields.items()):
-            u16 = np.clip(img.astype(np.float64), 0, 65535).astype(np.uint16)
             if name.startswith("range"):
-                u16 = np.clip(img.astype(np.float64)
-                              * (0.001 / RANGE_UNIT_M), 0,
+                u16 = np.clip(np.round(
+                    img.astype(np.float64) * (0.001 / RANGE_UNIT_M)),
+                    0, 65535).astype(np.uint16)
+            else:
+                u16 = np.clip(img.astype(np.float64), 0,
                               65535).astype(np.uint16)
             destag(u16).tofile(os.path.join(out_dir, f"f_{name}.bin"))
             field_names.append(name)

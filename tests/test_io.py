@@ -676,3 +676,31 @@ class TestFieldRetention:
         scans, _ = sources.read_packet_source(path, info, keep_fields=True)
         assert set(scans.fields) == {"reflectivity", "signal", "nearir"}
         assert scans.fields["nearir"].shape == scans.range_mm.shape
+
+
+class TestFrameCounterReset:
+    def test_mid_recording_reset_starts_new_segment(self):
+        """A sensor restart (frame counter reset that is NOT a 16-bit
+        wrap) must start a new scan segment, never merge temporally
+        distant frames that happen to share ids."""
+        info = make_info()
+        payloads, truth = synth_frames(info, n_frames=5)
+        per = info.w // info.columns_per_packet
+        # rewrite frame ids: segment 1 = 300,301,302; restart: 0,1
+        fids = [300, 301, 302, 0, 1]
+        col_bytes = len(payloads[0][1]) // info.columns_per_packet
+        rewritten = []
+        for i, (_, buf) in enumerate(payloads):
+            b = bytearray(buf)
+            fi = fids[i // per]
+            for c in range(info.columns_per_packet):
+                b[c * col_bytes + 10:c * col_bytes + 12] = int(
+                    fi).to_bytes(2, "little")
+            rewritten.append(bytes(b))
+        arr = np.stack([np.frombuffer(p, np.uint8) for p in rewritten])
+        scans = sources.assemble_scans(
+            info, pkt.parse_lidar_packets(info, arr))
+        assert len(scans) == 5
+        assert np.array_equal(scans.range_mm, truth)
+        # chronology preserved across the reset
+        assert (np.diff(scans.ts) > 0).all()

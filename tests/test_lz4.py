@@ -118,5 +118,54 @@ def test_native_matches_python(monkeypatch):
         nat = native.lz4_block_decompress(c)
         assert nat == data
         with monkeypatch.context() as m:
-            m.setattr(native, "lz4_block_decompress", lambda _: None)
+            m.setattr(native, "lz4_block_decompress",
+                      lambda *a, **k: None)
             assert lz4f.block_decompress(c) == data
+
+
+class TestLinkedBlocks:
+    def test_linked_frame_cross_block_match(self):
+        """Block-LINKED frames (python-lz4 / lz4 CLI default) carry
+        matches that reach into the PREVIOUS block's output."""
+        import struct
+        # block 1: literals "abcdefgh"
+        b1 = bytes([0x80]) + b"abcdefgh"
+        # block 2: match(offset=8, len=8) into block 1, then "WORLD"
+        b2 = bytes([0x04, 0x08, 0x00]) + bytes([0x50]) + b"WORLD"
+        frame = struct.pack("<I", lz4f.FRAME_MAGIC)
+        frame += bytes([0x40, 0x70, 0x00])  # v1, LINKED (bit5 clear)
+        frame += struct.pack("<I", len(b1)) + b1
+        frame += struct.pack("<I", len(b2)) + b2
+        frame += struct.pack("<I", 0)
+        assert lz4f.frame_decompress(frame) == b"abcdefghabcdefghWORLD"
+
+    def test_block_history_python_and_native_agree(self):
+        from ptudes_tpu import native
+        hist = b"0123456789" * 20
+        blk = bytes([0x14]) + b"X" + bytes([0xC8, 0x00])  # offset 200
+        got_py = lz4f.block_decompress(blk, history=hist)
+        # offset 200 from end of (hist + "X") reaches hist[1:9]
+        assert got_py == b"X" + (hist + b"X")[-200:][:8]
+        if native.get_lib() is not None:
+            got_nat = native.lz4_block_decompress(blk, history=hist)
+            assert got_nat == got_py
+
+    def test_truncated_inputs_raise_valueerror(self):
+        for bad in (bytes([0xF0]),            # ext literal len cut off
+                    bytes([0x10, 0x61, 0x05]),  # offset cut off
+                    bytes([0x1F, 0x61, 0x01, 0x00])):  # ext mlen cut
+            with pytest.raises(ValueError):
+                lz4f.block_decompress(bad)
+        with pytest.raises(ValueError):
+            lz4f.frame_decompress(
+                bytes.fromhex("04224d18") + bytes([0x40, 0x70, 0x00]))
+
+    def test_max_out_enforced_both_paths(self):
+        from ptudes_tpu import native
+        data = b"a" * 10000
+        c = lz4f.block_compress(data)
+        with pytest.raises(ValueError):
+            lz4f.block_decompress(c, max_out=100)
+        if native.get_lib() is not None:
+            with pytest.raises(ValueError):
+                native.lz4_block_decompress(c, max_out=100)

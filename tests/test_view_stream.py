@@ -143,3 +143,13 @@ def test_cli_stream_export(tmp_path):
     assert r.exit_code == 0, r.output
     assert os.path.isfile(os.path.join(d, "viewer_stream.html"))
     assert os.path.isfile(os.path.join(d, "ranges.bin"))
+
+
+def test_export_short_shift_list(tmp_path):
+    """SensorInfo built directly (empty pixel_shift_by_row, the
+    dataclass default) must export with zero shifts, not crash."""
+    import dataclasses
+    info = dataclasses.replace(make_info(), pixel_shift_by_row=[])
+    scans = _make_scans(info, n=1, with_fields=False)
+    out = export_stream(str(tmp_path), info, scans)
+    assert os.path.isfile(out)
