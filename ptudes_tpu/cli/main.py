@@ -344,6 +344,11 @@ def cmd_ekf_nc(file, gt_file, duration, start_ts, imu_topic, plot, xy_plot):
 @click.option("--resume-state", type=click.Path(exists=True), default=None,
               help="Start from a state checkpoint instead of a fresh "
               "state (continue a windowed run bit-exact)")
+@click.option("--frozen-map", is_flag=True,
+              help="Localization-only mode (beyond the reference): "
+              "register against the resumed checkpoint's map WITHOUT "
+              "modifying it — no inserts, no eviction. Requires "
+              "--resume-state (a fresh empty map cannot localize)")
 @click.option("--online", is_flag=True,
               help="Drive the streaming LioOnline scan-by-scan (live-"
               "deployment rehearsal): one compiled step per scan, "
@@ -369,8 +374,8 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
                    use_gt_guess, gt_file, kiss_min_range, kiss_max_range,
                    beams, loss, save_kitti_poses, save_nc_gt_poses,
                    save_map_ply, save_debug_scene, debug_scene_stride,
-                   save_state, resume_state, online, rate, voxel_size,
-                   map_capacity, max_source, max_frame, plot):
+                   save_state, resume_state, frozen_map, online, rate,
+                   voxel_size, map_capacity, max_source, max_frame, plot):
     """The flagship LIO loop on Ouster PCAP/BAG: KISS-style ICP odometry +
     ES-EKF smoothing (reference ``ekf-bench ouster``,
     ``src/ptudes/cli/ekf_bench.py:326-666``), fully on device."""
@@ -385,6 +390,10 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
 
     if use_gt_guess and not gt_file:
         raise click.ClickException("--use-gt-guess requires --gt-file")
+    if frozen_map and not resume_state:
+        raise click.ClickException(
+            "--frozen-map requires --resume-state (localization needs a "
+            "prior map)")
 
     info, scans, imu, meta_path = _load_source(file, meta)
     scans = scans.window(start_scan, end_scan)
@@ -415,6 +424,7 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         cap=Capacity(max_points=info.h * info.w, **cap_kw),
         ekf=EkfConfig(),
         guess=guess,
+        map_frozen=frozen_map,
     )
     lut = _nav_frame_lut(info)
 

@@ -170,3 +170,9 @@ class PipelineConfig:
     # unrolling pays that boundary once per ``scan_unroll`` scans. Results
     # are identical for any factor; compile time grows with the factor.
     scan_unroll: int = 1
+    # localization-only mode (beyond the reference): register every scan
+    # against a FIXED prior map — no inserts, no eviction; the carried
+    # map is bit-identical in and out. Pair with a checkpointed map
+    # (utils.checkpoint / CLI --resume-state --frozen-map) to relocalize
+    # a new recording inside a previously built map.
+    map_frozen: bool = False

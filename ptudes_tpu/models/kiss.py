@@ -102,7 +102,7 @@ def get_adaptive_threshold(state: KissState, cfg: KissConfig) -> jax.Array:
 @partial(jax.jit, inline=True,
          static_argnames=("cfg", "cap", "use_guess", "grid_hw",
                           "insert_overflow", "axis_name", "defer_insert",
-                          "map_logical_capacity"))
+                          "map_logical_capacity", "map_frozen"))
 def register_scan(
     state: KissState,
     pts: jax.Array,        # [N, 3] points in the sensor/nav frame
@@ -121,6 +121,7 @@ def register_scan(
     defer_insert: bool = False,
     map_slot_base: jax.Array | None = None,
     map_logical_capacity: int | None = None,
+    map_frozen: bool = False,
 ) -> tuple[KissState, jax.Array, KissAux]:
     """Register one scan; returns (new_state, new_pose, diagnostics).
 
@@ -294,7 +295,12 @@ def register_scan(
     frame_w = se3.transform(new_pose, frame_ds)
     evict_r2 = jnp.where(
         ok, jnp.asarray(cfg.max_range**2, jnp.float32), jnp.inf)
-    if defer_insert:
+    if map_frozen:
+        # localization-only: the prior map is read-only — pose, adaptive
+        # threshold and diagnostics update as usual, the map does not
+        assert not defer_insert, "map_frozen has nothing to defer"
+        local_map = state.local_map
+    elif defer_insert:
         # batched-replica mode: the caller (parallel.batched) runs the
         # insert+evict OUTSIDE the vmap as flat unbatched scatters —
         # vmapped scatters serialize ~5x worse per element (docs/PERF.md)

@@ -243,7 +243,8 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
             insert_overflow=insert_overflow, axis_name=axis_name,
             defer_insert=defer_insert,
             map_slot_base=map_slot_base,
-            map_logical_capacity=map_logical_capacity)
+            map_logical_capacity=map_logical_capacity,
+            map_frozen=cfg.map_frozen)
         if defer_insert:
             kiss1, pose, aux, deferred = reg
         else:
@@ -330,6 +331,13 @@ def run_sequence(
     k = n if cfg.bootstrap_scans < 0 else min(cfg.bootstrap_scans, n)
     pk = not log
     unpack = unpack_out if pk else (lambda o: o)
+    if cfg.map_frozen:
+        # localization-only: no inserts, so no boot/steady split either
+        step = make_scan_step(lut, cfg, insert_overflow=False, log=log,
+                              pack_out=pk)
+        state, out = jax.lax.scan(step, state, batches,
+                                  unroll=max(cfg.scan_unroll, 1))
+        return state, unpack(out)
     boot = make_scan_step(lut, cfg, insert_overflow=True, log=log,
                           pack_out=pk)
     if k >= n:

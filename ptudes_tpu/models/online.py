@@ -66,11 +66,13 @@ class LioOnline:
         # boundary. bootstrap_scans < 0 keeps overflow on for every scan.
         self._n_scans = 0
         self._boot_scans = cfg.bootstrap_scans
-        self._step_boot = jax.jit(
-            lio.make_scan_step(lut, cfg, insert_overflow=True))
         self._step_steady = jax.jit(
             lio.make_scan_step(lut, cfg,
                                insert_overflow=cfg.steady_insert_mode))
+        # map_frozen (localization-only) skips inserts in every step, so
+        # boot and steady would be the same program — compile one
+        self._step_boot = self._step_steady if cfg.map_frozen else jax.jit(
+            lio.make_scan_step(lut, cfg, insert_overflow=True))
 
     @property
     def n_dropped_imu(self) -> int:

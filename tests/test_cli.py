@@ -106,3 +106,16 @@ def test_viz_frames(fixture_dir):
 def test_ekf_bench_sim():
     out = _run(["ekf-bench", "sim", "--duration", "2.0", "--corr-t", "0.5"])
     assert "ATE" in out
+
+
+def test_frozen_map_requires_resume_state(tmp_path):
+    """--frozen-map without a prior map checkpoint is rejected upfront."""
+    from click.testing import CliRunner
+
+    from ptudes_tpu.cli.main import ptudes_cli
+
+    r = CliRunner().invoke(
+        ptudes_cli,
+        ["ekf-bench", "ouster", __file__, "--frozen-map"])
+    assert r.exit_code != 0
+    assert "resume-state" in r.output

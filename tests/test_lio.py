@@ -235,3 +235,40 @@ def test_logged_run_emits_imu_rate_history(sim_run):
     fin2, out2 = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
     np.testing.assert_allclose(np.asarray(out.kiss_pose),
                                np.asarray(out2.kiss_pose), atol=0)
+
+
+@pytest.mark.slow
+def test_frozen_map_localization(sim_run):
+    """Localization-only mode (beyond the reference): split the sequence,
+    build a map on the first half, then track the second half against
+    the FROZEN map — pose still locks to ground truth and the map is
+    bit-identical before and after."""
+    import dataclasses
+
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    h = N_SCANS // 2
+
+    b1 = lio.build_batches(cfg, scans[:h], ts[:h], np.asarray(imu.lacc),
+                           np.asarray(imu.avel), imu_ts)
+    st1, _ = lio.run_sequence(lio.init_state(cfg), b1, sensor.lut, cfg=cfg)
+
+    fcfg = dataclasses.replace(cfg, map_frozen=True)
+    b2 = lio.build_batches(fcfg, scans[h:], ts[h:], np.asarray(imu.lacc),
+                           np.asarray(imu.avel), imu_ts,
+                           prev_scan_ts=float(ts[h - 1]))
+    st2, out = lio.run_sequence(st1, b2, sensor.lut, cfg=fcfg)
+
+    # map untouched, bit for bit
+    np.testing.assert_array_equal(
+        np.asarray(st1.kiss.local_map.meta),
+        np.asarray(st2.kiss.local_map.meta))
+    np.testing.assert_array_equal(
+        np.asarray(st1.kiss.local_map.points),
+        np.asarray(st2.kiss.local_map.points))
+
+    # localization still tracks ground truth through the second half
+    rel = rel_gt(poses)
+    kerr = np.linalg.norm(
+        np.asarray(out.kiss_pose)[:, :3, 3] - rel[h:, :3, 3], axis=1)
+    assert kerr.max() < 0.15, kerr.max()
