@@ -88,7 +88,12 @@ def bench_config():
         cap=Capacity(max_points=H * W, max_frame=32768, max_source=2048,
                      map_capacity=1 << 19, dedup_table=1 << 18,
                      max_new_per_scan=2048, max_probes=1),
-        ekf=EkfConfig(),
+        # predict_batch="pallas": the whole K-step EKF predict block as
+        # ONE kernel launch (ops.pallas_ekf) — the r4 discovery that
+        # per-op scheduling bubbles dominate at this operating point
+        # made op-count the lever: 367.9 -> 451.2 scans/s measured, at
+        # BETTER ATE (0.0133 -> 0.0129), and cold compile 57 -> 36 s
+        ekf=EkfConfig(predict_batch="pallas"),
         max_imu_per_scan=16,
         guess="ekf",
         # bootstrap 3 + decimated steady insert (round-4 matrix,
@@ -300,8 +305,8 @@ def main():
                         "scatters unbatched) and r4's indices-only-vmap "
                         "candidate gathers (map in_axes=None). Plain vmap "
                         "collapses (r2: x2=10.8); the fused driver "
-                        "recovers to x2~181/x4~294 aggregate but still "
-                        "LOSES to serial per-chip (~343): per-row "
+                        "recovers to x2~182/x4~298 aggregate but still "
+                        "LOSES to serial per-chip (~452): per-row "
                         "gather/scatter cost scales with total rows, so "
                         "batching only amortizes the small fixed per-scan "
                         "cost. One sequence per chip is optimal for "

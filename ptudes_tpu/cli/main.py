@@ -422,7 +422,11 @@ def cmd_ekf_ouster(file, meta, start_scan, end_scan, use_imu_prediction,
         kiss=KissConfig(max_range=kiss_max_range, min_range=kiss_min_range,
                         deskew=True, loss=loss, voxel_size=voxel_size),
         cap=Capacity(max_points=info.h * info.w, **cap_kw),
-        ekf=EkfConfig(),
+        # on TPU the whole predict block runs as ONE kernel launch
+        # (ops.pallas_ekf, +20% full-pipeline throughput measured);
+        # other backends keep the associative-scan form
+        ekf=EkfConfig(predict_batch=(
+            "pallas" if jax.default_backend() == "tpu" else "assoc")),
         guess=guess,
         map_frozen=frozen_map,
     )

@@ -406,19 +406,33 @@ def process_imu_batch(
     reference's ``_logging=True`` recordings for the flagship ouster mode,
     ``src/ptudes/ins/es_ekf.py:171-179``). Logging is side-effect-free,
     exactly like the reference (``es_ekf.py:171-179``): the CARRIED state
-    is always the one ``log=False`` would return — under "assoc" the log
-    path runs the unrolled chain only to emit the per-step history and
-    carries the assoc-form state forward, so observability never perturbs
-    the trajectory (the per-step ``cov_diag`` entries are the unrolled
-    chain's, which differ from the carried assoc covariance by f32
-    reassociation only)."""
-    if cfg.predict_batch not in ("assoc", "unroll"):
+    is always the one ``log=False`` would return — under "assoc"/"pallas"
+    the log path runs the unrolled chain only to emit the per-step
+    history and carries the assoc/kernel-form state forward, so
+    observability never perturbs the trajectory (the per-step
+    ``cov_diag`` entries are the unrolled chain's, which differ from the
+    carried covariance by f32 reassociation only).
+
+    ``predict_batch="pallas"`` runs the whole block as ONE TPU kernel
+    (``ops.pallas_ekf``): nav chain on the scalar unit, covariance as
+    in-kernel 18x18 matmuls — removes the ~25-ops-per-step dispatch/
+    bubble cost entirely (interpret-mode on non-TPU backends)."""
+    if cfg.predict_batch not in ("assoc", "unroll", "pallas"):
         raise ValueError(
-            f"EkfConfig.predict_batch must be 'assoc' or 'unroll', got "
-            f"{cfg.predict_batch!r}")
-    use_assoc = cfg.predict_batch == "assoc"
-    if not log and use_assoc:
+            f"EkfConfig.predict_batch must be 'assoc', 'unroll' or "
+            f"'pallas', got {cfg.predict_batch!r}")
+
+    def fast_form():
+        if cfg.predict_batch == "pallas":
+            from ..ops.pallas_ekf import predict_block_pallas
+            return predict_block_pallas(
+                s, imus, valid, cfg=cfg,
+                interpret=(jax.default_backend() != "tpu"))
         return _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
+
+    use_fast = cfg.predict_batch in ("assoc", "pallas")
+    if not log and use_fast:
+        return fast_form()
 
     def step(state, inp):
         imu, ok = inp
@@ -438,8 +452,8 @@ def process_imu_batch(
     # unrolling lets XLA fuse across steps instead of paying per-iteration
     # loop overhead on sub-microsecond bodies
     out, flog = jax.lax.scan(step, s, (imus, valid), unroll=True)
-    if log and use_assoc:
-        # carry the assoc-form state so log=True and log=False runs are
+    if log and use_fast:
+        # carry the fast-form state so log=True and log=False runs are
         # bit-identical; the unrolled chain above only feeds the history
-        out = _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
+        out = fast_form()
     return (out, flog) if log else out

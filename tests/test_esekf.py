@@ -239,6 +239,49 @@ class TestBatched:
         assert np.allclose(s_a.cov, s_u.cov, rtol=1e-3, atol=2e-3), \
             np.abs(np.asarray(s_a.cov) - np.asarray(s_u.cov)).max()
 
+    def test_pallas_kernel_matches_unroll(self):
+        """The one-launch Pallas predict block (predict_batch='pallas',
+        interpret mode here) matches the unrolled chain near-exactly —
+        the in-kernel math IS the sequential chain (matrix-form attitude
+        + per-step symmetrized covariance), so tolerances are f32
+        roundoff, tighter than the assoc form's reassociation."""
+        import dataclasses
+        _, noisy = sim.sim_imu_arrays(7, 16)
+        cfg_u = dataclasses.replace(CFG, predict_batch="unroll")
+        cfg_p = dataclasses.replace(CFG, predict_batch="pallas")
+        s0 = esekf.init_state(CFG)
+        valid = jnp.arange(16) < 13
+        s_u = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_u)
+        s_p = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_p)
+        assert np.allclose(s_p.pos, s_u.pos, atol=1e-6)
+        assert np.allclose(s_p.vel, s_u.vel, atol=1e-6)
+        assert np.allclose(s_p.quat, s_u.quat, atol=1e-6)
+        assert np.allclose(s_p.imu_ts, s_u.imu_ts)
+        assert bool(s_p.initialized) == bool(s_u.initialized)
+        assert np.allclose(s_p.cov, s_u.cov, rtol=1e-5, atol=1e-5), \
+            np.abs(np.asarray(s_p.cov) - np.asarray(s_u.cov)).max()
+        # logging-invariance holds for the pallas form too: the carried
+        # state of log=True is the kernel-form state
+        s_pl, _ = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_p,
+                                          log=True)
+        for f in esekf.EkfState._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(s_p, f)), np.asarray(getattr(s_pl, f)))
+
+    def test_pallas_kernel_uninitialized_latch(self):
+        """First valid sample of an uninitialized filter only latches the
+        timestamp (same contract as process_imu / the assoc form)."""
+        import dataclasses
+        _, noisy = sim.sim_imu_arrays(3, 8)
+        cfg_u = dataclasses.replace(CFG, predict_batch="unroll")
+        cfg_p = dataclasses.replace(CFG, predict_batch="pallas")
+        s0 = esekf.init_state(CFG)
+        valid = jnp.arange(8) < 5
+        s_u = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_u)
+        s_p = esekf.process_imu_batch(s0, noisy, valid, cfg=cfg_p)
+        assert np.allclose(s_p.pos, s_u.pos, atol=1e-6)
+        assert np.allclose(s_p.imu_ts, s_u.imu_ts)
+
     def test_assoc_uninitialized_first_sample_latches(self):
         """First valid sample of a fresh filter only latches the clock —
         both modes."""
