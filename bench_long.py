@@ -89,7 +89,7 @@ def main():
         cap=Capacity(max_points=H * W, max_frame=16384, max_source=8192,
                      map_capacity=1 << 19, dedup_table=1 << 17,
                      max_new_per_scan=8192, max_probes=1),
-        ekf=EkfConfig(),
+        ekf=EkfConfig(predict_batch="pallas"),
         max_imu_per_scan=16,
         guess="ekf",
     )
