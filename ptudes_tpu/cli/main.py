@@ -70,19 +70,39 @@ def _nav_frame_lut(info, cap_h=None):
 @click.option("--kiss-run", is_flag=True,
               help="Also run vanilla KISS odometry for time profiling "
               "(reference stat --kiss-run, src/ptudes/cli/stat.py:42-44)")
-def cmd_stat(file, meta, duration, beams, kiss_run):
+@click.option("--start-scan", type=int, default=0,
+              help="Start scan index (reference stat --start-scan, "
+              "src/ptudes/cli/stat.py:29)")
+@click.option("--end-scan", type=int, default=None,
+              help="End scan index, inclusive (reference stat "
+              "--end-scan, src/ptudes/cli/stat.py:30)")
+def cmd_stat(file, meta, duration, beams, kiss_run, start_scan, end_scan):
     """Stream statistics: range/IMU mean/std + gravity estimate
     (reference ``ptudes stat``, ``src/ptudes/cli/stat.py``)."""
     from ..utils.stats import sequence_stats
 
     info, scans, imu, _ = _load_source(file, meta)
-    sel_s = slice(None)
-    sel_i = slice(None)
+    sel_s = np.ones(len(scans.ts), bool)
+    sel_i = np.ones(len(imu.ts), bool)
+    if (start_scan > 0 or end_scan is not None) and len(scans.ts):
+        # scan-index windowing (reference withScanIdx start/end): IMU
+        # samples restrict to the selected scans' time span — the samples
+        # the reference's packet iterator would interleave with them
+        idx = np.arange(len(scans.ts))
+        last = len(scans.ts) - 1 if end_scan is None else end_scan
+        sel_s &= (idx >= start_scan) & (idx <= last)
+        if not sel_s.any():
+            raise click.ClickException(
+                f"scan window [{start_scan}, {end_scan}] selects no "
+                f"scans (recording has {len(scans.ts)})")
+        lo = (scans.ts[start_scan - 1] if start_scan > 0 else -np.inf)
+        hi = scans.ts[min(last, len(scans.ts) - 1)]
+        sel_i &= (imu.ts > lo) & (imu.ts <= hi)
     if duration > 0 and len(scans.ts):
         t0 = min(scans.ts[0] if len(scans.ts) else np.inf,
                  imu.ts[0] if len(imu.ts) else np.inf)
-        sel_s = scans.ts <= t0 + duration
-        sel_i = imu.ts <= t0 + duration
+        sel_s &= scans.ts <= t0 + duration
+        sel_i &= imu.ts <= t0 + duration
     tracker = sequence_stats(
         scans.range_mm[sel_s], scans.ts[sel_s],
         imu.lacc[sel_i], imu.avel[sel_i], imu.ts[sel_i],
@@ -850,8 +870,12 @@ def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
               help="Export the WebGL player + stream blobs here "
               "without serving")
 @click.option("--port", type=int, default=8126, help="--serve port")
+@click.option("-r", "--rate", type=float, default=1.0,
+              help="Initial playback rate for --serve/--stream-dir; 0 "
+              "starts paused (reference ptudes viz -r, "
+              "src/ptudes/cli/viz.py:24-29)")
 def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name,
-            serve, stream_dir, port):
+            serve, stream_dir, port, rate):
     """Raw scan viewer: live WebGL playback (--serve / --stream-dir),
     or destaggered channel images as matplotlib figures — one scan
     (--out-png/interactive) or the whole stream (--out-dir)
@@ -864,7 +888,7 @@ def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name,
         if not len(scans):
             raise click.ClickException("no scans decoded")
         d = stream_dir or (os.path.splitext(str(file))[0] + "_stream")
-        out = export_stream(d, info, scans)
+        out = export_stream(d, info, scans, rate=rate)
         print(f"player -> {out}")
         if serve:
             serve_dir(d, port)

@@ -62,6 +62,8 @@ def block_decompress(src: bytes, max_out: int = 1 << 30,
                     raise ValueError("lz4: literal run past end of block")
                 out += src[i:i + lit]
                 i += lit
+                if len(out) - h0 > max_out:
+                    raise ValueError("lz4: output exceeds limit")
             if i >= n:
                 break  # last sequence carries literals only
             # match
@@ -190,7 +192,12 @@ def frame_decompress(buf: bytes) -> bytes:
             if has_content_size:
                 i += 8
             if has_dict_id:
-                i += 4
+                # a frame requiring an external dictionary would decode to
+                # silently wrong bytes (early matches reference a window we
+                # don't have); roslz4 never emits dict frames, so reject
+                raise ValueError(
+                    "lz4: frame requires an external dictionary "
+                    "(unsupported)")
             i += 1  # header checksum (xxh32 byte) — not verified
             frame_start = len(out)
             while True:
@@ -215,6 +222,11 @@ def frame_decompress(buf: bytes) -> bytes:
                     out += block_decompress(blk, history=bytes(out[lo:]))
             if content_cksum:
                 i += 4
+        if i != n:
+            # < 4 trailing bytes cannot start a frame; silently ignoring
+            # them would make this laxer than the native decoder
+            raise ValueError(
+                f"lz4: {n - i} trailing bytes after last frame")
     except struct.error:
         raise ValueError("lz4: truncated frame") from None
     return bytes(out)

@@ -115,21 +115,30 @@ def assemble_scans(info: SensorInfo, cols: pkt.ParsedColumns,
     # mid-recording counter RESETS (sensor restart / concatenated
     # segments): a drop beyond the reorder window that is not a 16-bit
     # wrap must start a new segment, not merge temporally distant frames
-    # that happen to share ids. Shift every later value past the running
-    # max; restarts are rare, so the python loop runs ~once per restart.
+    # that happen to share ids. Only a drop to a NEAR-ZERO raw counter is
+    # a genuine restart (the sensor counts from 0 again) — that renumbers
+    # the tail past the running max. A pathologically late packet whose
+    # raw id is NOT near zero is dropped instead: renumbering on it would
+    # fabricate a phantom segment boundary and shift all later frame
+    # grouping. Restarts/strays are rare, so the loop runs ~once each.
     reorder_w = 4
+    keep = np.ones(n_cols, bool)
     while True:
         run_max = np.maximum.accumulate(unwrapped)
         bad = np.nonzero(unwrapped < run_max - reorder_w)[0]
         if bad.size == 0:
             break
         r = bad[0]
-        unwrapped[r:] += run_max[r - 1] + 1 - unwrapped[r]
+        if fid[r] <= 2 * reorder_w:
+            unwrapped[r:] += run_max[r - 1] + 1 - unwrapped[r]
+        else:
+            keep[r] = False
+            unwrapped[r] = run_max[r]  # clamp so it stops triggering
     uniq, scan_idx = np.unique(unwrapped, return_inverse=True)
     n_scans = len(uniq)
 
     mid = np.clip(cols.measurement_id.astype(np.int64), 0, w - 1)
-    ok = cols.status
+    ok = cols.status & keep
 
     range_mm = np.zeros((n_scans, h, w), np.uint32)
     col_ts = np.zeros((n_scans, w), np.uint64)

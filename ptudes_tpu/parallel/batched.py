@@ -66,6 +66,12 @@ def run_sequence_batched(
     ``parallel.replay.replay_bags`` runs): stacked states in, stacked
     states + stacked [B, N] outputs back.
     """
+    if cfg.map_frozen:
+        raise ValueError(
+            "map_frozen is not supported by the batched replica driver "
+            "(its flat-table path always defers the map insert); run "
+            "frozen-map sequences through lio.run_sequence or "
+            "parallel.replay instead")
     b, c = states.kiss.local_map.meta.shape[:2]
     n = batches.range_m.shape[1]
     vs = cfg.kiss.resolved_voxel_size

@@ -219,14 +219,22 @@ canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);
  rngTex=makeTex(gl.R16UI,w,h,gl.RED_INTEGER,gl.UNSIGNED_SHORT,null);
  fldTex=makeTex(gl.R16UI,w,h,gl.RED_INTEGER,gl.UNSIGNED_SHORT,null);
  t=meta.scan_ts[0];
+ // CLI-seeded initial playback rate; 0 = start paused (ptudes viz -r 0)
+ if(typeof meta.rate==="number"){
+  if(meta.rate===0){playing=false;rate=1.0;}
+  else rate=meta.rate;}
  requestAnimationFrame(tick);
 })();
 </script></body></html>
 """
 
 
-def export_stream(out_dir, info, scans, keep_fields=True):
+def export_stream(out_dir, info, scans, keep_fields=True, rate=1.0):
     """Write the player + binary stream blobs. Returns the HTML path.
+
+    ``rate`` seeds the player's initial playback rate (the reference's
+    ``ptudes viz -r``, ``src/ptudes/cli/viz.py:24-29``); ``rate=0`` uses
+    the reference's start-paused convention (paused at scan 0, rate x1).
 
     Everything is exported DESTAGGERED (per-row roll by
     ``pixel_shift_by_row``) — ranges, extra channels, and the direction/
@@ -296,6 +304,7 @@ def export_stream(out_dir, info, scans, keep_fields=True):
             "fields": field_names,
             "field_max": field_max,
             "sensor": f"{info.prod_line} {info.mode}",
+            "rate": float(rate),
         }, f)
 
     out = os.path.join(out_dir, "viewer_stream.html")

@@ -50,6 +50,20 @@ def test_stat(fixture_dir):
     assert "scans: 8" in out and "grav vector est" in out.lower()
 
 
+def test_stat_scan_window(fixture_dir):
+    """--start-scan/--end-scan windowing (reference
+    src/ptudes/cli/stat.py:29-30): stats run over the selected scans
+    and their interleaved IMU samples only."""
+    d, pcap, meta, gt = fixture_dir
+    out = _run(["stat", pcap, "-m", meta,
+                "--start-scan", "2", "--end-scan", "5"])
+    assert "scans: 4" in out
+    # out-of-range window fails loudly, not silently empty
+    r = CliRunner().invoke(
+        ptudes_cli, ["stat", pcap, "-m", meta, "--start-scan", "99"])
+    assert r.exit_code != 0
+
+
 @pytest.mark.slow
 def test_ekf_bench_ouster_flagship(fixture_dir):
     d, pcap, meta, gt = fixture_dir

@@ -95,6 +95,24 @@ def test_gt_guess_mode(sim_run):
     assert np.mean(kerr**2) < 0.02
 
 
+def test_ekf_guess_lio_tracks_fast(sim_run):
+    """FAST-tier flagship smoke: the loosely-coupled LIO path (EKF guess
+    + ICP + EKF update) must track the sim circle within a loose ATE
+    bound. Uses the exact same config/shapes as the other fast-tier LIO
+    tests so the compiled executable is shared; the slow tier's
+    ``test_ekf_guess_lio_tracks`` keeps the tight bound + velocity
+    checks. Exists so a trajectory-breaking change cannot pass the
+    default (fast) suite."""
+    sensor, ts, poses, scans, imu, imu_ts = sim_run
+    cfg = make_cfg("ekf")
+    fin, out = run(cfg, sensor, ts, scans, imu, imu_ts)
+    rel = rel_gt(poses)
+    kerr = np.linalg.norm(
+        np.asarray(out.kiss_pose)[:, :3, 3] - rel[:, :3, 3], axis=1)
+    assert np.isfinite(np.asarray(out.kiss_pose)).all()
+    assert np.mean(kerr**2) < 0.05, f"kiss ATE {np.mean(kerr**2):.4f}"
+
+
 def test_scan_without_imu_is_skipped(sim_run):
     sensor, ts, poses, scans, imu, imu_ts = sim_run
     cfg = make_cfg("ekf")

@@ -139,10 +139,15 @@ def test_cli_stream_export(tmp_path):
         f.write(info_to_json(info))
     d = str(tmp_path / "stream")
     r = CliRunner().invoke(
-        ptudes_cli, ["viz", path, "-m", mpath, "--stream-dir", d])
+        ptudes_cli, ["viz", path, "-m", mpath, "--stream-dir", d,
+                     "--rate", "0"])
     assert r.exit_code == 0, r.output
     assert os.path.isfile(os.path.join(d, "viewer_stream.html"))
     assert os.path.isfile(os.path.join(d, "ranges.bin"))
+    # -r seeds the player's initial rate (0 = start paused, the
+    # reference's ptudes viz -r convention, src/ptudes/cli/viz.py:24-29)
+    meta = json.load(open(os.path.join(d, "stream.json")))
+    assert meta["rate"] == 0.0
 
 
 def test_export_short_shift_list(tmp_path):

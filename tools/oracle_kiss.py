@@ -2,17 +2,25 @@
 
 Used to A/B the TPU pipeline and as the honest CPU baseline for bench.py:
 same voxelization semantics (first point per voxel), same adaptive
-threshold, same robust GN with per-iteration NN over the same data
-structure kiss-icp's C++ core uses — a voxel hash map queried over the
-27-neighborhood — implemented efficiently as sorted packed voxel keys +
-``np.searchsorted`` (vectorized binary search) rather than a KD-tree
-rebuilt per scan, so the baseline is not artificially slowed by a data
-structure the reference never uses. Not part of the shipped framework —
-a debugging/validation/baseline tool.
+threshold, same robust GN. The ICP inner loop's exact NN runs over a
+fast-build per-registration KD-tree (``scipy.spatial.cKDTree``, built
+once per scan — the map is immutable during ICP); the packed-key
+``searchsorted`` voxel-hash structure below provides the kiss insert/
+evict semantics (points grouped per voxel, ppv cap, whole-voxel
+eviction) and a vectorized 27-neighborhood query for A/B use. Not part
+of the shipped framework — a debugging/validation/baseline tool.
 
 Reference behavior mirrored: ``/root/reference/src/ptudes/kiss.py:83-131``
 (deskew -> clip -> double voxelize -> adaptive sigma -> robust GN ->
 threshold update -> map insert/evict).
+
+:class:`OracleLio` adds the POLICY-IDENTICAL baseline of the flagship
+loosely-coupled pipeline (reference ``ptudes ekf-bench ouster
+--use-imu-prediction``, ``src/ptudes/cli/ekf_bench.py:493-563``): a
+minimal f64 ES-EKF (the reference math, ``src/ptudes/ins/es_ekf.py:
+191-327``) supplies the deskew twist and ICP initial guess, and fuses
+the ICP pose back — the same per-scan policy the TPU pipeline runs, so
+bench.py's relative quality gate compares like with like.
 """
 import numpy as np
 from scipy.spatial.transform import Rotation as R
@@ -174,7 +182,9 @@ class VoxelHashMapNp:
 class OracleKiss:
     def __init__(self, voxel_size=0.3, max_range=30.0, min_range=1.0,
                  ppv=20, initial_threshold=2.0, min_motion=0.1,
-                 max_iters=100):
+                 max_iters=100, loss="point", plane_min_quality=0.2,
+                 plane_radius=None, prior_rot_weight=0.0,
+                 prior_trans_weight=0.0):
         self.vs = voxel_size
         self.max_range = max_range
         self.min_range = min_range
@@ -184,6 +194,17 @@ class OracleKiss:
         self.init_th = initial_threshold
         self.min_motion = min_motion
         self.max_iters = max_iters
+        # loss="plane": per-point patch plane fit at the guess pose +
+        # point-to-plane rows with point-to-point fallback, and the
+        # guess-anchored motion prior — the SAME registration objective
+        # the TPU pipeline runs (ops/icp.py gn_from_candidates), so the
+        # baseline measures the same algorithm, not kiss's point-to-point
+        self.loss = loss
+        self.plane_min_quality = plane_min_quality
+        self.plane_radius = (1.5 * voxel_size if plane_radius is None
+                             else plane_radius)
+        self.prior_rot_weight = prior_rot_weight
+        self.prior_trans_weight = prior_trans_weight
         self.map = VoxelHashMapNp(voxel_size, ppv, max_range)
         self.poses = []
 
@@ -195,8 +216,14 @@ class OracleKiss:
     def map_points(self):
         return self.map.pts
 
-    def register(self, pts, guess=None, ts01=None):
-        if ts01 is not None and len(self.poses) >= 2:
+    def register(self, pts, guess=None, ts01=None, deskew_twist=None):
+        if ts01 is not None and deskew_twist is not None:
+            # externally supplied sweep motion (OracleLio passes the
+            # EKF's IMU-integrated twist — the TPU pipeline's
+            # deskew_mode="ekf" policy, models/lio.py)
+            pts = deskew_by_twist(pts, np.asarray(ts01) - 0.5,
+                                  np.asarray(deskew_twist, np.float64))
+        elif ts01 is not None and len(self.poses) >= 2:
             delta = np.linalg.inv(self.poses[-2]) @ self.poses[-1]
             pts = deskew_by_twist(pts, np.asarray(ts01) - 0.5,
                                   log_pose(delta))
@@ -225,14 +252,63 @@ class OracleKiss:
             tree = cKDTree(mp, balanced_tree=False, compact_nodes=False)
             kernel = sig / 3.0
             max_d = 3.0 * sig
+            guess_inv = np.linalg.inv(guess)
+
+            normal = centroid = quality = None
+            if self.loss == "plane":
+                # per-point patch plane fit at the GUESS pose, fixed for
+                # the whole registration — the TPU pipeline's gather-once
+                # policy (ops/icp.py CandidateSet / prep_with_plane)
+                src_g = source @ guess[:3, :3].T + guess[:3, 3]
+                k = min(16, len(mp))
+                dist, j = tree.query(
+                    src_g, k=k, workers=-1,
+                    distance_upper_bound=self.plane_radius)
+                if k == 1:
+                    dist, j = dist[:, None], j[:, None]
+                okn = np.isfinite(dist)
+                nbr = mp[np.where(okn, j, 0)]                 # [S, k, 3]
+                w = okn.astype(np.float64)
+                n_in = w.sum(1)
+                denom = np.maximum(n_in, 1.0)
+                centroid = (nbr * w[..., None]).sum(1) / denom[:, None]
+                d = (nbr - centroid[:, None, :]) * w[..., None]
+                cov = np.einsum("spi,spj->sij", d, d) / denom[:, None, None]
+                lam, vec = np.linalg.eigh(cov)                # ascending
+                normal = vec[..., 0]
+                quality = np.where(
+                    n_in >= 4,
+                    (lam[:, 1] - lam[:, 0]) / np.maximum(lam[:, 2], 1e-12),
+                    0.0)
+
             for it in range(self.max_iters):
                 iters = it + 1
                 src_w = source @ T[:3, :3].T + T[:3, 3]
                 dist, j = tree.query(src_w, distance_upper_bound=max_d,
                                      workers=-1)
-                okm = np.isfinite(dist)
-                r = src_w[okm] - mp[j[okm]]
-                p = src_w[okm]
+                corr = np.isfinite(dist)
+                jtj = np.zeros((6, 6))
+                jtr = np.zeros(6)
+                total_w = 0.0
+                if self.loss == "plane":
+                    use_pl = corr & (quality >= self.plane_min_quality)
+                    if use_pl.any():
+                        pp = src_w[use_pl]
+                        s_res = np.sum(
+                            normal[use_pl] * (pp - centroid[use_pl]), 1)
+                        w_pl = kernel**2 / (kernel + s_res**2)**2
+                        row = np.concatenate(
+                            [np.cross(pp, normal[use_pl]),
+                             normal[use_pl]], axis=1)
+                        rw = row * w_pl[:, None]
+                        jtj += rw.T @ row
+                        jtr += rw.T @ s_res
+                        total_w += w_pl.sum()
+                    use_pt = corr & ~use_pl
+                else:
+                    use_pt = corr
+                r = src_w[use_pt] - mp[j[use_pt]]
+                p = src_w[use_pt]
                 w = kernel**2 / (kernel + np.sum(r * r, axis=1))**2
                 # J = [-hat(p) | I], built vectorized (no per-point loop)
                 J = np.zeros((len(p), 3, 6))
@@ -244,9 +320,19 @@ class OracleKiss:
                 J[:, 2, 1] = -p[:, 0]
                 J[:, 0, 3] = J[:, 1, 4] = J[:, 2, 5] = 1.0
                 Jw = J * w[:, None, None]
-                JTJ = np.einsum("nij,nik->jk", Jw, J) + 1e-12 * np.eye(6)
-                JTr = np.einsum("nij,ni->j", Jw, r)
-                dx = np.linalg.solve(JTJ, -JTr)
+                jtj += np.einsum("nij,nik->jk", Jw, J)
+                jtr += np.einsum("nij,ni->j", Jw, r)
+                total_w += w.sum()
+                if self.prior_rot_weight > 0 or self.prior_trans_weight > 0:
+                    # guess-anchored motion prior (ops/icp.py)
+                    xi = log_pose(T @ guess_inv)
+                    wp = total_w * np.array(
+                        [self.prior_rot_weight] * 3
+                        + [self.prior_trans_weight] * 3)
+                    jtj += np.diag(wp)
+                    jtr += wp * xi
+                jtj += 1e-12 * np.eye(6)
+                dx = np.linalg.solve(jtj, -jtr)
                 T = exp_twist(dx) @ T
                 if np.linalg.norm(dx) < 1e-4:
                     break
@@ -260,6 +346,122 @@ class OracleKiss:
         self.map.insert(frame_ds @ T[:3, :3].T + T[:3, 3])
         self.map.evict(T[:3, 3])
         self.poses.append(T)
+        return T, iters, sig
+
+
+GRAV = 9.782940329221166  # reference constant, src/ptudes/ins/data.py:10
+
+
+class NumpyEsEkf:
+    """Minimal f64 ES-EKF — the reference ESEKF math
+    (``src/ptudes/ins/es_ekf.py:191-327``) with the reference tuning
+    constants (``:101-119``, meas defaults ``:289-292``), including the
+    init-attitude-covariance rotvec^2 quirk. Mirrors the oracle class
+    tests/test_esekf.py pins against the JAX filter."""
+
+    def __init__(self):
+        self.pos = np.zeros(3)
+        self.vel = np.zeros(3)
+        self.rot = np.eye(3)
+        self.bg = np.zeros(3)
+        self.ba = np.zeros(3)
+        self.grav = GRAV * np.array([0.0, 0.0, -1.0])
+        att = R.from_euler("XYZ", [10.0] * 3, degrees=True).as_rotvec()
+        self.cov = np.diag(np.concatenate([
+            [10.0**2] * 3, [5.0**2] * 3, att**2,
+            [1.5**2] * 3, [0.5**2] * 3, [2.5**2] * 3]))
+        self.acc_bias_std, self.gyr_bias_std = 0.049, 0.38
+        self.acc_vrw, self.gyr_arw = 0.0043, 0.000466
+        self.meas_pos_std, self.meas_att_std = 0.02, 0.01
+        self.ts = None
+
+    def imu(self, lacc, avel, ts):
+        if self.ts is None:
+            self.ts = ts
+            return
+        dt = ts - self.ts
+        self.ts = ts
+        acc_body = lacc - self.ba
+        avel_b = avel - self.bg
+        rot_d = R.from_rotvec(avel_b * dt).as_matrix()
+        r_prev = self.rot.copy()
+        lacc_g = r_prev @ acc_body
+        self.pos = (self.pos + self.vel * dt
+                    + 0.5 * (lacc_g + self.grav) * dt**2)
+        self.vel = self.vel + (lacc_g + self.grav) * dt
+        self.rot = r_prev @ rot_d
+        f = np.eye(18)
+        f[0:3, 3:6] = dt * np.eye(3)
+        f[3:6, 6:9] = -dt * r_prev @ hat(acc_body)
+        f[3:6, 12:15] = -dt * r_prev
+        f[6:9, 6:9] = rot_d.T
+        f[6:9, 9:12] = -dt * np.eye(3)
+        w = np.zeros((18, 18))
+        w[3:6, 3:6] = (dt * self.acc_bias_std) ** 2 * np.eye(3)
+        w[6:9, 6:9] = (dt * self.gyr_bias_std) ** 2 * np.eye(3)
+        w[12:15, 12:15] = dt * self.acc_vrw**2 * np.eye(3)
+        w[9:12, 9:12] = dt * self.gyr_arw**2 * np.eye(3)
+        self.cov = f @ self.cov @ f.T + w
+
+    def pose_update(self, pose):
+        resid = np.zeros(6)
+        resid[:3] = pose[:3, 3] - self.pos
+        resid[3:] = R.from_matrix(self.rot.T @ pose[:3, :3]).as_rotvec()
+        jp = np.zeros((6, 18))
+        jp[0:3, 0:3] = np.eye(3)
+        jp[3:6, 6:9] = np.eye(3)
+        mc = np.diag([self.meas_pos_std**2] * 3
+                     + [self.meas_att_std**2] * 3)
+        s = jp @ self.cov @ jp.T + mc
+        k = self.cov @ jp.T @ np.linalg.inv(s)
+        dx = k @ resid
+        self.cov = (np.eye(18) - k @ jp) @ self.cov
+        self.pos = self.pos + dx[0:3]
+        self.vel = self.vel + dx[3:6]
+        self.rot = self.rot @ R.from_rotvec(dx[6:9]).as_matrix()
+        self.bg = self.bg + dx[9:12]
+        self.ba = self.ba + dx[12:15]
+        self.grav = self.grav + dx[15:18]
+        g = np.eye(3) - hat(0.5 * dx[6:9])
+        self.cov[6:9, 6:9] = g @ self.cov[6:9, 6:9] @ g.T
+
+    def pose_mat(self):
+        p = np.eye(4)
+        p[:3, :3] = self.rot
+        p[:3, 3] = self.pos
+        return p
+
+
+class OracleLio:
+    """Policy-identical f64 CPU baseline of the flagship LIO pipeline:
+    per scan, EKF predict over the scan's IMU block -> EKF-twist deskew
+    -> ICP with the EKF pose as initial guess -> EKF update with the ICP
+    pose — the exact loosely-coupled policy the TPU ``models/lio.py``
+    scan_step runs (``guess="ekf"``, ``deskew_mode="ekf"``), so the
+    bench's relative quality gate compares the same algorithm, not a
+    const-velocity variant of it."""
+
+    def __init__(self, **kiss_kwargs):
+        self.kiss = OracleKiss(**kiss_kwargs)
+        self.ekf = NumpyEsEkf()
+
+    @property
+    def poses(self):
+        return self.kiss.poses
+
+    def process(self, pts, ts01, imu_lacc, imu_avel, imu_ts):
+        """One scan + its interleaved IMU block (the windowing
+        lio.build_batches does). Returns the ICP (kiss) pose."""
+        ekf0 = self.ekf.pose_mat()
+        for i in range(len(imu_ts)):
+            self.ekf.imu(np.asarray(imu_lacc[i], np.float64),
+                         np.asarray(imu_avel[i], np.float64),
+                         float(imu_ts[i]))
+        ekf1 = self.ekf.pose_mat()
+        twist = log_pose(np.linalg.inv(ekf0) @ ekf1)
+        T, iters, sig = self.kiss.register(
+            pts, guess=ekf1, ts01=ts01, deskew_twist=twist)
+        self.ekf.pose_update(T)
         return T, iters, sig
 
 
