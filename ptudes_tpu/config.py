@@ -76,6 +76,16 @@ class KissConfig:
     # 4-scalar carry is CHEAPER than the masked extra GN kernels, so 1
     # (plain while) wins — the knob stays for other shape regimes
     gn_unroll: int = 1
+    # fused candidate select+prep kernels (ops.pallas_gather) on the
+    # frozen-candidate pallas/fused path; False = the XLA
+    # gather_candidates + prep chain (same candidates either way).
+    # MEASURED (r5 A/B, tools/exp_r5_gather.py, TPU v5e, 4 interleaved
+    # reps): fused 443.3 vs XLA 450.1 scans/s best-of — the two kernel
+    # launches do NOT beat XLA's existing fusion of the select chain at
+    # bench shapes; the added [N,56]/[N,V]/[N,32] transposes cost more
+    # than the removed op soup. Default False; knob kept for other
+    # shape regimes and further tuning.
+    fused_gather: bool = False
 
     @property
     def resolved_voxel_size(self) -> float:

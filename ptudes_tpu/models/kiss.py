@@ -263,6 +263,7 @@ def register_scan(
             axis_name=axis_name,
             slot_base=map_slot_base,
             logical_capacity=map_logical_capacity,
+            fused_gather=cfg.fused_gather,
         )
     else:
         res = icp.register_frame(
@@ -298,7 +299,12 @@ def register_scan(
     if map_frozen:
         # localization-only: the prior map is read-only — pose, adaptive
         # threshold and diagnostics update as usual, the map does not
-        assert not defer_insert, "map_frozen has nothing to defer"
+        if defer_insert:
+            raise ValueError(
+                "map_frozen is incompatible with defer_insert (the "
+                "batched replica driver): a frozen map has no insert to "
+                "defer. Run frozen-map sequences through lio.run_sequence "
+                "or parallel.replay instead.")
         local_map = state.local_map
     elif defer_insert:
         # batched-replica mode: the caller (parallel.batched) runs the

@@ -286,6 +286,7 @@ def drift_metric(t_gather: jax.Array, t_cur: jax.Array) -> jax.Array:
         "plane_min_quality", "prior_rot_weight", "prior_trans_weight",
         "neighborhood", "n_voxels", "plane_radius", "gn_backend",
         "refresh_drift", "gn_unroll", "axis_name", "logical_capacity",
+        "fused_gather",
     ),
 )
 def register_frame_cached(
@@ -313,8 +314,14 @@ def register_frame_cached(
     axis_name: str | None = None,
     slot_base: jax.Array | None = None,
     logical_capacity: int | None = None,
+    fused_gather: bool = True,
 ) -> IcpResult:
     """Gather-once robust GN ICP (see :class:`CandidateSet`).
+
+    ``fused_gather``: use the 2-kernel candidate select+prep
+    (``ops.pallas_gather``) on the frozen-candidate pallas/fused path
+    instead of the XLA gather_candidates + prep chain (A/B knob; both
+    paths produce the same candidates).
 
     Same objective as :func:`register_frame` but with the NN candidates
     (and plane fits) hoisted out of the iteration loop: per iteration only
@@ -389,16 +396,34 @@ def register_frame_cached(
     if not refresh and gn_backend in ("pallas", "fused"):
         # candidates are loop-invariant without refresh: prep ONCE here
         # and close over the result — keeping them in the while carry
-        # costs a multi-MB carry copy per iteration. The patch plane fit
-        # runs on the SAME lane-major tensors via the fused moments
-        # kernel (gather_candidates' XLA fit is skipped entirely).
+        # costs a multi-MB carry copy per iteration.
         from .pallas_gn import gn_prepped_pallas, prep_with_plane_pallas
-        cand0 = fetch(guess, fit_planes=False)
         r = (1.5 * voxel_size if plane_radius is None else plane_radius)
-        prepped0 = prep_with_plane_pallas(
-            cand0, source_mask, se3.transform(guess, source),
-            jnp.asarray(r, jnp.float32), loss=loss,
-            interpret=(jax.default_backend() != "tpu"))
+        if (fused_gather and slot_base is None
+                and neighborhood in (7, 27)):
+            # the gather mega-kernel: probe match, top-V select, unpack,
+            # lane-major prep AND the patch plane fit collapse into TWO
+            # kernel launches around the two row gathers — replaces the
+            # ~150-op XLA chain of gather_candidates + prep (docs/PERF.md
+            # round 5). The batched-replica driver (slot_base) and the
+            # octant neighborhood keep the XLA path below.
+            from .pallas_gather import gather_prep_fused
+            cand0 = None  # unused by the prepped GN paths below
+            prepped0 = gather_prep_fused(
+                vmap_, source, source_mask, guess,
+                voxel_size=voxel_size, max_probes=max_probes,
+                neighborhood=neighborhood, n_voxels=n_voxels,
+                plane_radius=r, loss=loss,
+                interpret=(jax.default_backend() != "tpu"))
+        else:
+            # the patch plane fit runs on the SAME lane-major tensors via
+            # the fused moments kernel (gather_candidates' XLA fit is
+            # skipped entirely)
+            cand0 = fetch(guess, fit_planes=False)
+            prepped0 = prep_with_plane_pallas(
+                cand0, source_mask, se3.transform(guess, source),
+                jnp.asarray(r, jnp.float32), loss=loss,
+                interpret=(jax.default_backend() != "tpu"))
     else:
         cand0 = fetch(guess)
 
@@ -434,11 +459,13 @@ def register_frame_cached(
                 from .pallas_gn import gn_from_candidates_pallas
                 jtj, jtr, corr_n, total_w = gn_from_candidates_pallas(
                     t_cur, source, source_mask, cand, kernel, max_d2,
-                    loss=loss, plane_min_quality=plane_min_quality)
+                    loss=loss, plane_min_quality=plane_min_quality,
+                    interpret=(jax.default_backend() != "tpu"))
             else:
                 jtj, jtr, corr_n, total_w = gn_prepped_pallas(
                     t_cur, source, prepped0, kernel, max_d2,
-                    plane_min_quality=plane_min_quality)
+                    plane_min_quality=plane_min_quality,
+                    interpret=(jax.default_backend() != "tpu"))
         else:
             jtj, jtr, corr_n, total_w = gn_from_candidates(
                 t_cur, source, source_mask, cand, kernel, max_d2,
