@@ -144,6 +144,39 @@ def _fingerprint_and_slot(
     return fp, slot
 
 
+def gather_rows(table: jax.Array, s: jax.Array,
+                fill: int = 0) -> jax.Array:
+    """Row gather ``table[s]`` with OOB fill — with the index tensor
+    reshaped to a (flat/2, 2) matrix first.
+
+    Measured (r5, tools/exp_r5_insert.py, TPU v5e, net of loop floor):
+    the SAME 32768-row gather from a [2^19, 8] table costs 414 us with
+    flat [32768] indices but 157 us as [16384, 2] and 183 us as
+    [8192, 4] — XLA's gather lowering runs ~2.6x faster per row when the
+    index tensor has a small minor dimension. Order-preserving reshape,
+    so the result (reshaped back) is bit-identical.
+
+    HONESTY NOTE: the 2.6x is the ISOLATED (serialized-microbenchmark)
+    cost; the full-pipeline A/B (tools/exp_r5_gatherreshape.py, 4
+    interleaved reps) measured NO throughput change — at the current
+    operating point the scan program overlaps gather latency with other
+    work and is bound by per-op scheduling bubbles, not by the gathers
+    themselves (docs/PERF.md round 5). Kept because it is free, strictly
+    no slower, and matters in gather-serial contexts (standalone
+    queries, the batched driver's flat-table mode).
+    Result shape: ``s.shape + (table.shape[-1],)``.
+    """
+    shp = s.shape
+    flatn = 1
+    for d in shp:
+        flatn *= d
+    if flatn % 2 == 0 and flatn >= 4096 and shp[-1:] != (2,):
+        s2 = s.reshape(flatn // 2, 2)
+        rows = table.at[s2].get(mode="fill", fill_value=fill)
+        return rows.reshape(shp + (table.shape[-1],))
+    return table.at[s].get(mode="fill", fill_value=fill)
+
+
 def create(capacity: int, max_points_per_voxel: int) -> VoxelHashMap:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
     return VoxelHashMap(
@@ -335,7 +368,7 @@ def insert_deduped(
     free_seen = jnp.zeros((pts.shape[0],), bool)
     for r in range(max_probes):
         s = at_base((h0 + r) & (cap - 1), slot_base)
-        rows = m.meta.at[s].get(mode="fill", fill_value=0)   # [N, 8]
+        rows = gather_rows(m.meta, s)                        # [N, 8]
         match = (rows[:, 0] == fp) & ~found
         slot = jnp.where(match, s, slot)
         occ = jnp.where(match, rows[:, 5], occ)
@@ -632,7 +665,7 @@ def query(
     rep = jnp.zeros((mnum, neighborhood, 3), jnp.float32)
     for r in range(max_probes):
         s = (h0 + r) & (cap - 1)
-        rows = m.meta.at[s].get(mode="fill", fill_value=0)    # [M, J, 8]
+        rows = gather_rows(m.meta, s)                         # [M, J, 8]
         match = (rows[..., 0] == fp) & ~found
         found_slot = jnp.where(match, s, found_slot)
         cnt = jnp.where(match, rows[..., 1], cnt)

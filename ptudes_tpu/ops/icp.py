@@ -144,7 +144,7 @@ def gather_candidates(
         s = (h0 + r) & (cap - 1)
         if slot_base is not None:
             s = s + slot_base
-        rows = vmap_.meta.at[s].get(mode="fill", fill_value=0)
+        rows = hashmap.gather_rows(vmap_.meta, s)
         match = (rows[..., 0] == fp) & ~found
         found_slot = jnp.where(match, s, found_slot)
         cnt = jnp.where(match, rows[..., 1], cnt)
@@ -178,8 +178,7 @@ def gather_candidates(
     cnt_v = jnp.where(jnp.stack(sel_ok, 1), jnp.stack(sel_cnt, 1), 0)
     rep_v = jnp.stack(sel_rep, axis=1)                        # [M, V, 3]
 
-    packed = vmap_.points.at[slot_v].get(
-        mode="fill", fill_value=0)                            # [M, V, P]
+    packed = hashmap.gather_rows(vmap_.points, slot_v)        # [M, V, P]
     from .voxel import voxel_coords as _vc
     vox_pts = hashmap.unpack_points(
         packed, _vc(rep_v, voxel_size)[:, :, None, :], voxel_size)

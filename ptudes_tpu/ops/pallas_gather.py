@@ -323,7 +323,7 @@ def gather_prep_fused(
     s_full = jnp.concatenate(
         [(h0 + r) & (cap - 1) for r in range(r_n)], axis=1)   # [N, R*J]
 
-    rows = vmap_.meta.at[s_full].get(mode="fill", fill_value=0)
+    rows = hashmap.gather_rows(vmap_.meta, s_full)
     rows_t = rows.reshape(n, r_n * j_n * 8).T.reshape(-1, ns, 128)
     fp_t = fp.T.reshape(j_n, ns, 128)
     slot_t = s_full.T.reshape(r_n * j_n, ns, 128)
@@ -342,7 +342,7 @@ def gather_prep_fused(
     )(ptq, qc_t, fp_t, slot_t, rows_t)
 
     slot_v = aux[:v_n].reshape(v_n, n).T                      # [N, V]
-    packed = vmap_.points.at[slot_v].get(mode="fill", fill_value=0)
+    packed = hashmap.gather_rows(vmap_.points, slot_v)
     pts_rows = packed.reshape(n, v_n * ppv).T.reshape(-1, ns, 128)
 
     scal = jnp.stack([
