@@ -36,15 +36,22 @@ def run_variant(name, cfg, scans, scan_ts, gt_mid, imu, imu_ts, sensor,
     state = lio.init_state(cfg)
     times = []
     outs = []
+    # preload all chunk inputs to HBM before timing — the axon tunnel's
+    # ~32 MB/chunk upload otherwise dominates (r5 trace: ~2.5 ms/scan of
+    # transfer wait vs ~1 ms/scan of device program)
+    all_b = []
     for c in range(n // chunk):
         sl = slice(c * chunk, (c + 1) * chunk)
-        batches = lio.build_batches(
+        all_b.append(lio.build_batches(
             cfg, scans[sl], scan_ts[sl], np.asarray(imu.lacc),
             np.asarray(imu.avel), imu_ts,
-            prev_scan_ts=(scan_ts[sl.start - 1] if c else None))
+            prev_scan_ts=(scan_ts[sl.start - 1] if c else None)))
+    jax.block_until_ready(all_b)
+    for c in range(n // chunk):
         jax.block_until_ready(state.kiss.local_map.meta)
         t0 = time.monotonic()
-        state, out = lio.run_sequence(state, batches, sensor.lut, cfg=cfg)
+        state, out = lio.run_sequence(state, all_b[c], sensor.lut,
+                                      cfg=cfg)
         jax.block_until_ready((out.kiss_pose, state.kiss.local_map.meta))
         times.append(time.monotonic() - t0)
         outs.append(jax.tree.map(np.asarray, out))
@@ -82,7 +89,7 @@ def main():
 
     def cfg(max_frame=16384, max_source=8192, max_new=8192,
             map_cap=1 << 19, dedup=1 << 17, boot=1, steady="cond",
-            unroll=1, **kw):
+            unroll=1, coldec=1, **kw):
         return PipelineConfig(
             kiss=replace(kiss, **kw),
             cap=Capacity(max_points=bench_long.H * bench_long.W,
@@ -92,26 +99,28 @@ def main():
             ekf=EkfConfig(predict_batch="pallas"),
             max_imu_per_scan=16, guess="ekf",
             bootstrap_scans=boot, steady_insert_mode=steady,
-            scan_unroll=unroll)
+            scan_unroll=unroll, col_decimation=coldec)
 
+    # round 1 (500 scans, steady chunk 1): r4-default 204.4 @ 0.1170,
+    # boot3+decim+unroll2 206.0 @ 0.1195, src2048+new2048 251.6 @ 0.1176,
+    # src2048+new4096 256.0 @ 0.1155, src2048+new1024 284.2 @ 0.0949,
+    # +frame8192 263.8 @ 0.1506 (frame capacity starves the map — out),
+    # +map2^18 176.6 (probe-chain collisions — out, matches r4).
     variants = [
-        # current bench_long config (r4 default, untuned)
-        ("r4-default", cfg()),
-        # r4 bench discipline: boot3 + decimated steady + unroll 2
-        ("boot3+decim+unroll2", cfg(boot=3, steady=False, unroll=2)),
-        # + right-sized per-row budgets
-        ("rs src2048 new2048", cfg(boot=3, steady=False, unroll=2,
-                                   max_source=2048, max_new=2048)),
-        ("rs src2048 new4096", cfg(boot=3, steady=False, unroll=2,
-                                   max_source=2048, max_new=4096)),
         ("rs src2048 new1024", cfg(boot=3, steady=False, unroll=2,
                                    max_source=2048, max_new=1024)),
-        ("rs + frame8192", cfg(boot=3, steady=False, unroll=2,
-                               max_source=2048, max_new=2048,
-                               max_frame=8192)),
-        ("rs + map2^18", cfg(boot=3, steady=False, unroll=2,
-                             max_source=2048, max_new=2048,
-                             map_cap=1 << 18)),
+        ("rs src2048 new512", cfg(boot=3, steady=False, unroll=2,
+                                  max_source=2048, max_new=512)),
+        ("rs src1024 new1024", cfg(boot=3, steady=False, unroll=2,
+                                   max_source=1024, max_new=1024)),
+        ("rs new1024 unroll3", cfg(boot=3, steady=False, unroll=3,
+                                   max_source=2048, max_new=1024)),
+        ("rs new1024 coldec2", cfg(boot=3, steady=False, unroll=2,
+                                   max_source=2048, max_new=1024,
+                                   coldec=2)),
+        ("rs new1024 iters12", cfg(boot=3, steady=False, unroll=2,
+                                   max_source=2048, max_new=1024,
+                                   max_iterations=12)),
     ]
     for name, c in variants:
         try:
