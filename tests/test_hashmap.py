@@ -204,3 +204,17 @@ def test_insert_deduped_skips_present_octants():
     m4 = hashmap.insert_deduped(m3, jnp.asarray(pts), keep,
                                 voxel_size=0.5, max_probes=2)
     assert int(hashmap.num_points(m4)) == n1
+
+
+def test_gather_rows_matches_flat_gather():
+    """hashmap.gather_rows (the (flat/2, 2) index reshape) must be
+    bit-identical to the plain row gather, including OOB fill, across
+    the shapes the hot paths use."""
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, (4096, 8), np.int64), jnp.int32)
+    for shape in ((8192,), (2048, 7), (2048, 4), (33,), (4095,)):
+        s = jnp.asarray(rng.integers(0, 5000, shape, np.int64), jnp.int32)
+        got = hashmap.gather_rows(table, s)
+        ref = table.at[s].get(mode="fill", fill_value=0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
