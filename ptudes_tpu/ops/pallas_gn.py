@@ -150,6 +150,52 @@ def _moments_kernel(pt_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
     out_ref[:] = jnp.concatenate(sums, axis=0)
 
 
+def _prep_feat_kernel(pt_ref, cx_ref, cy_ref, cz_ref, inf_ref, scal_ref,
+                      feat_ref):
+    """Moments + covariance + closed-form smallest eigenpair + feat
+    assembly, all in one kernel — the lane-major finish of the patch
+    plane fit with NO [N, 3, 3]-space XLA chain and NO feat transpose.
+    pt rows 0-2: query points (gather pose), row 3: source mask."""
+    from .pallas_gather import _smallest_eig_rows
+
+    px, py, pz = pt_ref[0:1, :], pt_ref[1:2, :], pt_ref[2:3, :]
+    mask = pt_ref[3:4, :]
+    r2 = scal_ref[0, 0]
+    dx = cx_ref[:] - px                             # [C, BLK]
+    dy = cy_ref[:] - py
+    dz = cz_ref[:] - pz
+    d2 = dx * dx + dy * dy + dz * dz + inf_ref[:]
+    w = (d2 <= r2).astype(jnp.float32)
+    rows = [
+        w, w * dx, w * dy, w * dz,
+        w * dx * dx, w * dy * dy, w * dz * dz,
+        w * dx * dy, w * dx * dz, w * dy * dz,
+    ]
+    # one stacked candidate-axis reduction (the GN-kernel trick)
+    st = jnp.concatenate(rows, axis=0)              # [10 C, BLK]
+    c = w.shape[0]
+    sums = jnp.sum(st.reshape(10, c, -1), axis=1)   # [10, BLK]
+    n_in = sums[0:1, :]
+    denom = jnp.maximum(n_in, 1.0)
+    mx, my, mz = (sums[1:2] / denom, sums[2:3] / denom, sums[3:4] / denom)
+    axx = sums[4:5] / denom - mx * mx
+    ayy = sums[5:6] / denom - my * my
+    azz = sums[6:7] / denom - mz * mz
+    axy = sums[7:8] / denom - mx * my
+    axz = sums[8:9] / denom - mx * mz
+    ayz = sums[9:10] / denom - my * mz
+    nx, ny, nz, quality = _smallest_eig_rows(axx, ayy, azz, axy, axz, ayz)
+    quality = jnp.where(n_in >= 4.0, quality, 0.0)
+    feat_ref[0:1, :] = nx
+    feat_ref[1:2, :] = ny
+    feat_ref[2:3, :] = nz
+    feat_ref[3:4, :] = px + mx
+    feat_ref[4:5, :] = py + my
+    feat_ref[5:6, :] = pz + mz
+    feat_ref[6:7, :] = quality
+    feat_ref[7:8, :] = mask
+
+
 @partial(jax.jit, inline=True, static_argnames=("interpret",))
 def plane_moments_pallas(
     ptq: jax.Array,     # [8, N] rows 0-2: query points (gather pose)
@@ -220,16 +266,19 @@ def prep_with_plane_pallas(
     loss: str = "plane",
     interpret: bool = False,
 ) -> PreppedCandidates:
-    """Lane-major prep computing the patch plane fit via the fused
-    moments kernel instead of gather_candidates' [M, C]-space XLA chain.
+    """Lane-major prep computing the patch plane fit via ONE fused
+    kernel instead of gather_candidates' [M, C]-space XLA chain.
 
     Transposes the candidate tensors ONCE (they are reused verbatim by
-    every GN iteration), runs :func:`plane_moments_pallas` on them, and
-    finishes the fit (covariance assembly + closed-form smallest
-    eigenpair) on the tiny [N, 3, 3] side in XLA.
+    every GN iteration) and runs :func:`_prep_feat_kernel` on them:
+    moments, covariance, the closed-form smallest eigenpair (in-kernel
+    Newton acos — Mosaic lowers no arccos) and the feat-row assembly all
+    happen lane-major inside the kernel, so no [N, 3, 3] XLA chain and
+    no [N, 8] -> [8, N] feat transpose remain (r5: ~35 ops + 1 transpose
+    removed per registration vs the r4 moments-kernel + XLA-finish
+    form). The eigensolve matches ops.plane.smallest_eigvec_sym3 to
+    f32/Newton-acos roundoff.
     """
-    from .plane import smallest_eigvec_sym3
-
     n = cand.pts.shape[0]
     cx = cand.pts[:, :, 0].T                       # [C, N]
     cy = cand.pts[:, :, 1].T
@@ -244,29 +293,34 @@ def prep_with_plane_pallas(
         ], axis=1).T
         return PreppedCandidates(feat=feat, cx=cx, cy=cy, cz=cz, inf=inf)
 
+    c = cx.shape[0]
+    assert n % BLK == 0, f"N {n} must be a multiple of {BLK}"
     ptq = jnp.concatenate(
-        [q_w, jnp.zeros((n, 5), jnp.float32)], axis=1).T     # [8, N]
-    mom = plane_moments_pallas(
-        ptq, cx, cy, cz, inf, radius * radius, interpret=interpret)
-    n_in = mom[0]
-    denom = jnp.maximum(n_in, 1.0)
-    m = mom[1:4] / denom                                     # [3, N]
-    sq = mom[4:10] / denom
-    cxx, cyy, czz = sq[0] - m[0] ** 2, sq[1] - m[1] ** 2, sq[2] - m[2] ** 2
-    cxy, cxz, cyz = (sq[3] - m[0] * m[1], sq[4] - m[0] * m[2],
-                     sq[5] - m[1] * m[2])
-    cov = jnp.stack([
-        jnp.stack([cxx, cxy, cxz], -1),
-        jnp.stack([cxy, cyy, cyz], -1),
-        jnp.stack([cxz, cyz, czz], -1),
-    ], axis=-2)                                              # [N, 3, 3]
-    normal, quality = smallest_eigvec_sym3(cov)
-    quality = jnp.where(n_in >= 4, quality, 0.0)
-    centroid = q_w + m.T
-    feat = jnp.concatenate([
-        normal, centroid, quality[:, None],
-        source_mask.astype(jnp.float32)[:, None],
-    ], axis=1).T                                             # [8, N]
+        [q_w, source_mask.astype(jnp.float32)[:, None],
+         jnp.zeros((n, 4), jnp.float32)], axis=1).T          # [8, N]
+    scal = (radius * radius).astype(jnp.float32).reshape(1, 1)
+    feat = pl.pallas_call(
+        _prep_feat_kernel,
+        grid=(n // BLK,),
+        in_specs=[
+            pl.BlockSpec((8, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, BLK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        interpret=interpret,
+    )(ptq, cx, cy, cz, inf, scal)
     return PreppedCandidates(feat=feat, cx=cx, cy=cy, cz=cz, inf=inf)
 
 
