@@ -243,11 +243,16 @@ def bench_replicas(scans, scan_ts, imu_ts, counts=(2, 4)):
 
 def _device_watchdog(
         timeout_s: float = float(
-            os.environ.get("PTUDES_BENCH_DEVICE_TIMEOUT", 600.0))):
+            os.environ.get("PTUDES_BENCH_DEVICE_TIMEOUT", 450.0)),
+        max_retries: int = 2):
     """Fail loudly (instead of hanging forever) when the TPU tunnel is
     down: jax.devices() through the axon relay blocks indefinitely
-    during pool outages. A daemon thread probes device acquisition and
-    hard-exits with a diagnostic if nothing answers within timeout."""
+    during pool outages — AND, ~1 in 3 fresh processes, on a
+    per-connection wedge a concurrently started process would not hit.
+    A daemon thread probes device acquisition; if nothing answers within
+    the timeout the process RE-EXECS itself (fresh tunnel connection,
+    the recovery that reliably works for the per-connection wedge) up to
+    ``max_retries`` times before hard-exiting with a diagnostic."""
     import threading
 
     state = {"ok": False}
@@ -263,8 +268,23 @@ def _device_watchdog(
     def reaper():
         t.join(timeout_s)
         if not state["ok"]:
+            n = int(os.environ.get("PTUDES_BENCH_DEVICE_RETRY", "0"))
+            # re-exec only works for real script invocations (python
+            # foo.py ...); `python -c` loses its command string
+            reexecable = bool(sys.argv and sys.argv[0] not in ("-c", ""))
+            if n < max_retries and reexecable:
+                print(
+                    f"bench: no device within {timeout_s:.0f}s — "
+                    f"re-exec retry {n + 1}/{max_retries} "
+                    "(per-connection tunnel wedge)",
+                    file=sys.stderr, flush=True)
+                env = dict(os.environ)
+                env["PTUDES_BENCH_DEVICE_RETRY"] = str(n + 1)
+                os.execve(sys.executable,
+                          [sys.executable] + sys.argv, env)
             print(f"bench: no device answered within {timeout_s:.0f}s "
-                  "(TPU tunnel outage?) — aborting instead of hanging",
+                  f"after {max_retries} reconnect attempts (TPU tunnel "
+                  "outage?) — aborting instead of hanging",
                   file=sys.stderr, flush=True)
             os._exit(3)
 
