@@ -874,8 +874,13 @@ def cmd_flyby(file, meta, kitti_poses, nc_gt_poses, start_scan, end_scan,
               help="Initial playback rate for --serve/--stream-dir; 0 "
               "starts paused (reference ptudes viz -r, "
               "src/ptudes/cli/viz.py:24-29)")
+@click.option("--max-scans", type=int, default=None,
+              help="--serve/--stream-dir: export at most N scans. The "
+              "player streams pre-exported blobs (~1 MB/scan at "
+              "128x1024), so bound the export for multi-GB recordings "
+              "instead of paying full-stream export time/disk up front")
 def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name,
-            serve, stream_dir, port, rate):
+            serve, stream_dir, port, rate, max_scans):
     """Raw scan viewer: live WebGL playback (--serve / --stream-dir),
     or destaggered channel images as matplotlib figures — one scan
     (--out-png/interactive) or the whole stream (--out-dir)
@@ -887,6 +892,10 @@ def cmd_viz(file, meta, scan_idx, out_png, out_dir, stride, field_name,
         info, scans, imu, _ = _load_source(file, meta, keep_fields=True)
         if not len(scans):
             raise click.ClickException("no scans decoded")
+        if max_scans is not None and len(scans) > max_scans:
+            print(f"exporting first {max_scans} of {len(scans)} scans "
+                  "(--max-scans)")
+            scans = scans.window(0, max_scans - 1)  # end inclusive
         d = stream_dir or (os.path.splitext(str(file))[0] + "_stream")
         out = export_stream(d, info, scans, rate=rate)
         print(f"player -> {out}")

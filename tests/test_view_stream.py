@@ -149,6 +149,15 @@ def test_cli_stream_export(tmp_path):
     meta = json.load(open(os.path.join(d, "stream.json")))
     assert meta["rate"] == 0.0
 
+    # --max-scans bounds the export for huge recordings
+    d2 = str(tmp_path / "stream2")
+    r = CliRunner().invoke(
+        ptudes_cli, ["viz", path, "-m", mpath, "--stream-dir", d2,
+                     "--max-scans", "1"])
+    assert r.exit_code == 0, r.output
+    meta2 = json.load(open(os.path.join(d2, "stream.json")))
+    assert meta2["n"] == 1 and len(meta2["scan_ts"]) == 1
+
 
 def test_export_short_shift_list(tmp_path):
     """SensorInfo built directly (empty pixel_shift_by_row, the
