@@ -94,8 +94,12 @@ def bench_config():
         # ONE kernel launch (ops.pallas_ekf) — the r4 discovery that
         # per-op scheduling bubbles dominate at this operating point
         # made op-count the lever: 367.9 -> 451.2 scans/s measured, at
-        # BETTER ATE (0.0133 -> 0.0129), and cold compile 57 -> 36 s
-        ekf=EkfConfig(predict_batch="pallas"),
+        # BETTER ATE (0.0133 -> 0.0129), and cold compile 57 -> 36 s.
+        # update_form="pallas" (r5): the pose update as one kernel too
+        # (residual, SPD solve, gain, Joseph, injection, projection) —
+        # +0.7% interleaved A/B at identical ATE and cold compile
+        # 45 -> 33 s (tools/exp_r5_update.py)
+        ekf=EkfConfig(predict_batch="pallas", update_form="pallas"),
         max_imu_per_scan=16,
         guess="ekf",
         # bootstrap 3 + decimated steady insert (round-4 matrix,

@@ -97,7 +97,7 @@ def main():
         cap=Capacity(max_points=H * W, max_frame=16384, max_source=2048,
                      map_capacity=1 << 19, dedup_table=1 << 17,
                      max_new_per_scan=1024, max_probes=1),
-        ekf=EkfConfig(predict_batch="pallas"),
+        ekf=EkfConfig(predict_batch="pallas", update_form="pallas"),
         max_imu_per_scan=16,
         guess="ekf",
         bootstrap_scans=3,

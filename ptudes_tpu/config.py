@@ -139,6 +139,10 @@ class EkfConfig:
     # step-by-step chain, bit-matching K sequential process_imu calls.
     # log=True always uses the unrolled chain (it needs per-step history).
     predict_batch: str = "assoc"
+    # pose-update form: "xla" (the reference-shaped op chain) or
+    # "pallas" — the whole update as one kernel launch
+    # (ops.pallas_ekf.update_pose_pallas); same math to f32 roundoff
+    update_form: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -188,9 +188,21 @@ def process_pose(
     meas_cov: jax.Array | None = None,
 ) -> EkfState:
     """EKF update from a 6-DoF pose measurement (reference ``processPose``,
-    ``src/ptudes/ins/es_ekf.py:259-327``)."""
+    ``src/ptudes/ins/es_ekf.py:259-327``).
+
+    ``cfg.update_form == "pallas"`` runs the whole update (residual, 6x6
+    SPD solve, gain, Joseph update, injection, attitude projection) as
+    ONE kernel launch (``ops.pallas_ekf.update_pose_pallas``) instead of
+    the ~100-op XLA chain; parity is f32 roundoff (pinned by test).
+    """
     if meas_cov is None:
         meas_cov = default_meas_cov(cfg)
+
+    if getattr(cfg, "update_form", "xla") == "pallas":
+        from ..ops.pallas_ekf import update_pose_pallas
+        return update_pose_pallas(
+            s, pose_meas, meas_cov, joseph=cfg.joseph_form,
+            interpret=(jax.default_backend() != "tpu"))
 
     r_k = so3.quat_to_mat(s.quat)
 

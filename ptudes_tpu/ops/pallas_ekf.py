@@ -177,6 +177,241 @@ def _make_kernel(k_steps: int, acc_bias_std: float, gyr_bias_std: float,
     return kernel
 
 
+# ---------------------------------------------------------------- update
+
+# update kernel scal SMEM layout (1, 96)
+_U_POS, _U_VEL, _U_R = 0, 3, 6
+_U_BG, _U_BA, _U_G = 15, 18, 21
+_U_MR, _U_MT = 24, 33               # measured pose R[9] + t[3]
+_U_MC = 36                          # meas cov [6, 6] row-major (36)
+_U_JOSEPH = 72                      # 1.0 = Joseph form
+# out SMEM (1, 32): pos3 vel3 R9 bg3 ba3 grav3
+
+_EPS_LOG = 1e-8
+
+
+def _acos_scalar(c):
+    """Newton arccos (no acos lowering in Mosaic); two-sided seed —
+    same scheme as ops.pallas_gather._acos_newton, scalar form."""
+    guard = 1e-3
+    lo = jnp.sqrt(jnp.maximum(2.0 * (1.0 + c), 0.0))
+    hi = jnp.sqrt(jnp.maximum(2.0 * (1.0 - c), 0.0))
+    x = jnp.where(c < 0.0, jnp.float32(3.14159265) - lo, hi)
+    for _ in range(3):
+        s = jnp.sin(x)
+        step = (jnp.cos(x) - c) / jnp.maximum(s, guard)
+        x = x + jnp.where(s > guard, step, 0.0)
+    return x
+
+
+def _log_rot_scalars(r):
+    """SO(3) log of 9 row-major scalars -> rotvec (3 scalars); direct
+    axis-angle form (stable for |rot| << pi — pose-update residual
+    rotations are fractions of a degree)."""
+    tr = r[0] + r[4] + r[8]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = _acos_scalar(cos_t)
+    t2 = theta * theta
+    small = theta < 1e-4
+    sin_t = jnp.sin(theta)
+    fac = jnp.where(small, 0.5 + t2 / 12.0,
+                    theta / jnp.maximum(2.0 * sin_t, _EPS_LOG))
+    return (fac * (r[7] - r[5]), fac * (r[2] - r[6]), fac * (r[3] - r[1]))
+
+
+def _make_update_kernel():
+    def kernel(scal_ref, cov_ref, out_ref, cov_out_ref):
+        r = [scal_ref[0, _U_R + i] for i in range(9)]
+        mr = [scal_ref[0, _U_MR + i] for i in range(9)]
+        joseph = scal_ref[0, _U_JOSEPH]
+
+        # residual: [t_meas - pos, log(R_k^T R_meas)]
+        m = _matmul3_scalars((r[0], r[3], r[6], r[1], r[4], r[7],
+                              r[2], r[5], r[8]), mr)   # R^T @ R_meas
+        rv = _log_rot_scalars(m)
+        res = [scal_ref[0, _U_MT + i] - scal_ref[0, _U_POS + i]
+               for i in range(3)] + list(rv)
+
+        p = cov_ref[:]                                  # [18, 18]
+        ir = jax.lax.broadcasted_iota(jnp.int32, (STATE, STATE), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (STATE, STATE), 1)
+        eye = (ir == ic).astype(jnp.float32)
+
+        # C = P @ Jp^T embedded in cols 0..5 ([18, 18], rest zero):
+        # Jp selects POS rows then PHI rows, so C's col j is P's col
+        # POS+j (j<3) / PHI+j-3 (j>=3)
+        sel = ((ic < 3) & (ir == ic + POS)) | \
+              ((ic >= 3) & (ic < 6) & (ir == ic - 3 + PHI))
+        jpt = sel.astype(jnp.float32)                   # [18, 18] = Jp^T
+        c_full = jnp.dot(p, jpt, preferred_element_type=jnp.float32)
+
+        # transpose via MXU (Mosaic has no cheap 2D transpose op):
+        # m^T = dot(m, I) contracting m's dim 0
+        def _t(mat):
+            return jax.lax.dot_general(
+                mat, eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        # S = Jp C + meas_cov as 6x6 scalars (read from c_full rows)
+        smat = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            src = POS + i if i < 3 else PHI + i - 3
+            for j in range(6):
+                smat[i][j] = (c_full[src, j]
+                              + scal_ref[0, _U_MC + 6 * i + j])
+
+        # Sinv via unrolled scalar Cholesky solve against I6
+        l = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i + 1):
+                acc = smat[i][j]
+                for kk in range(j):
+                    acc = acc - l[i][kk] * l[j][kk]
+                if i == j:
+                    l[i][j] = jnp.sqrt(jnp.maximum(acc, 1e-12))
+                else:
+                    l[i][j] = acc / l[j][j]
+        sinv = [[None] * 6 for _ in range(6)]
+        for col in range(6):
+            y = [None] * 6
+            for i in range(6):
+                acc = jnp.float32(1.0) if i == col else jnp.float32(0.0)
+                for kk in range(i):
+                    acc = acc - l[i][kk] * y[kk]
+                y[i] = acc / l[i][i]
+            x = [None] * 6
+            for i in reversed(range(6)):
+                acc = y[i]
+                for kk in range(i + 1, 6):
+                    acc = acc - l[kk][i] * x[kk]
+                x[i] = acc / l[i][i]
+            for i in range(6):
+                sinv[i][col] = x[i]
+
+        # materialize Sinv / meas_cov / resid into padded matrices
+        sinv_full = jnp.zeros_like(p)
+        mc_full = jnp.zeros_like(p)
+        for i in range(6):
+            for j in range(6):
+                cell = (ir == i) & (ic == j)
+                sinv_full = jnp.where(cell, sinv[i][j], sinv_full)
+                mc_full = jnp.where(
+                    cell, scal_ref[0, _U_MC + 6 * i + j], mc_full)
+        res_col = jnp.zeros_like(p[:, :1])              # [18, 1]
+        irc = jax.lax.broadcasted_iota(jnp.int32, (STATE, 1), 0)
+        for i in range(6):
+            res_col = jnp.where(irc == i, res[i], res_col)
+
+        k_full = jnp.dot(c_full, sinv_full,
+                         preferred_element_type=jnp.float32)
+        dx_col = jnp.dot(k_full, res_col,
+                         preferred_element_type=jnp.float32)  # [18, 1]
+        jp_full = _t(jpt)
+        ikj = eye - jnp.dot(k_full, jp_full,
+                            preferred_element_type=jnp.float32)
+        ikjp = jnp.dot(ikj, p, preferred_element_type=jnp.float32)
+        cov_j = jnp.dot(ikjp, _t(ikj),
+                        preferred_element_type=jnp.float32) \
+            + jnp.dot(jnp.dot(k_full, mc_full,
+                              preferred_element_type=jnp.float32),
+                      _t(k_full), preferred_element_type=jnp.float32)
+        cov_p = ikjp
+        cov = jnp.where(joseph > 0, cov_j, cov_p)
+        cov = 0.5 * (cov + _t(cov))
+
+        dx = [dx_col[i, 0] for i in range(STATE)]
+        dphi = (dx[PHI], dx[PHI + 1], dx[PHI + 2])
+        rd = _rodrigues_scalars(*dphi)
+        r_new = _matmul3_scalars(r, rd)
+
+        # attitude covariance projection: G = I - hat(dphi/2)
+        hx, hy, hz = 0.5 * dphi[0], 0.5 * dphi[1], 0.5 * dphi[2]
+        g = (1.0, hz, -hy, -hz, 1.0, hx, hy, -hx, 1.0)
+        blk = [[cov[PHI + i, PHI + j] for j in range(3)] for i in range(3)]
+        gb = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                gb[i][j] = sum(g[3 * i + kk] * blk[kk][j]
+                               for kk in range(3))
+        gbg = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                gbg[i][j] = sum(gb[i][kk] * g[3 * j + kk]
+                                for kk in range(3))
+        for i in range(3):
+            for j in range(3):
+                cov = jnp.where(
+                    (ir == PHI + i) & (ic == PHI + j), gbg[i][j], cov)
+
+        for i in range(3):
+            out_ref[0, _O_POS + i] = scal_ref[0, _U_POS + i] + dx[POS + i]
+            out_ref[0, _O_VEL + i] = scal_ref[0, _U_VEL + i] + dx[VEL + i]
+            out_ref[0, 15 + i] = scal_ref[0, _U_BG + i] + dx[BG + i]
+            out_ref[0, 18 + i] = scal_ref[0, _U_BA + i] + dx[BA + i]
+            out_ref[0, 21 + i] = scal_ref[0, _U_G + i] + dx[15 + i]
+        for i in range(9):
+            out_ref[0, _O_R + i] = r_new[i]
+        cov_out_ref[:] = cov
+
+    return kernel
+
+
+@partial(jax.jit, inline=True, static_argnames=("joseph", "interpret"))
+def update_pose_pallas(s, pose_meas, meas_cov, *, joseph: bool = True,
+                       interpret: bool = False):
+    """One-launch EKF pose update (the reference ``processPose``,
+    ``src/ptudes/ins/es_ekf.py:259-327``): residual, 6x6 SPD solve,
+    Kalman gain, Joseph/simple covariance update, error injection and
+    the attitude-covariance projection all inside one kernel — the
+    XLA form is ~100+ small ops (the unrolled Cholesky alone emits
+    dozens of scalar HLOs). Same math as ``esekf.process_pose`` to f32
+    roundoff (matrix-form attitude, Newton-acos rotation log).
+    """
+    from ..geom import so3
+    from ..models.esekf import EkfState
+
+    scal = jnp.zeros((1, 96), jnp.float32)
+    scal = scal.at[0, _U_POS:_U_POS + 3].set(s.pos)
+    scal = scal.at[0, _U_VEL:_U_VEL + 3].set(s.vel)
+    scal = scal.at[0, _U_R:_U_R + 9].set(so3.quat_to_mat(s.quat).reshape(9))
+    scal = scal.at[0, _U_BG:_U_BG + 3].set(s.bias_gyr)
+    scal = scal.at[0, _U_BA:_U_BA + 3].set(s.bias_acc)
+    scal = scal.at[0, _U_G:_U_G + 3].set(s.grav)
+    pm = pose_meas.astype(jnp.float32)
+    scal = scal.at[0, _U_MR:_U_MR + 9].set(pm[:3, :3].reshape(9))
+    scal = scal.at[0, _U_MT:_U_MT + 3].set(pm[:3, 3])
+    scal = scal.at[0, _U_MC:_U_MC + 36].set(
+        meas_cov.astype(jnp.float32).reshape(36))
+    scal = scal.at[0, _U_JOSEPH].set(1.0 if joseph else 0.0)
+
+    out, cov = pl.pallas_call(
+        _make_update_kernel(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # scal (1, 96)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # cov [18, 18]
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 32), jnp.float32),
+                   jax.ShapeDtypeStruct((STATE, STATE), jnp.float32)),
+        interpret=interpret,
+    )(scal, s.cov.astype(jnp.float32))
+
+    from ..geom import so3 as _so3
+    quat = _so3.mat_to_quat(out[0, _O_R:_O_R + 9].reshape(3, 3))
+    return EkfState(
+        pos=out[0, _O_POS:_O_POS + 3],
+        vel=out[0, _O_VEL:_O_VEL + 3],
+        quat=quat,
+        bias_gyr=out[0, 15:18],
+        bias_acc=out[0, 18:21],
+        grav=out[0, 21:24],
+        cov=cov,
+        imu_ts=s.imu_ts,
+        initialized=s.initialized,
+    )
+
+
 @partial(jax.jit, inline=True, static_argnames=("cfg", "interpret"))
 def predict_block_pallas(s, imus, valid, *, cfg, interpret: bool = False):
     """One-launch EKF predict over a padded IMU block.

@@ -332,3 +332,45 @@ def test_stale_imu_sample_is_noop():
     np.testing.assert_allclose(np.asarray(stale.quat), np.asarray(s.quat))
     np.testing.assert_allclose(np.asarray(stale.cov), np.asarray(s.cov))
     assert float(stale.imu_ts) == float(s.imu_ts)  # ts stays monotonic
+
+
+def test_update_pose_pallas_matches_xla():
+    """The one-launch pose-update kernel (ops.pallas_ekf.update_pose_pallas)
+    must match process_pose to f32 roundoff, Joseph and simple forms."""
+    from ptudes_tpu.ops.pallas_ekf import update_pose_pallas
+
+    rng = np.random.default_rng(5)
+    for joseph in (True, False):
+        cfg = EkfConfig(joseph_form=joseph)
+        s = esekf.init_state(cfg)
+        # advance to a generic state
+        ts = 0.0
+        for i in range(20):
+            ts += 0.01
+            s = esekf.process_imu(
+                s, Imu(lacc=jnp.asarray(rng.normal(0, 1, 3) +
+                                        [0, 0, 9.78], jnp.float32),
+                       avel=jnp.asarray(rng.normal(0, 0.2, 3),
+                                        jnp.float32),
+                       ts=jnp.asarray(ts, jnp.float32)), cfg=cfg)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = esekf.so3.quat_to_mat(
+            esekf.so3.rotvec_to_quat(jnp.asarray([0.02, -0.01, 0.03])))
+        pose[:3, 3] = [0.1, -0.2, 0.05]
+        mc = esekf.default_meas_cov(cfg)
+        ref = esekf.process_pose(s, jnp.asarray(pose), cfg=cfg)
+        got = update_pose_pallas(s, jnp.asarray(pose), mc,
+                                 joseph=joseph, interpret=True)
+        np.testing.assert_allclose(np.asarray(got.pos),
+                                   np.asarray(ref.pos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.vel),
+                                   np.asarray(ref.vel), atol=1e-5)
+        q0, q1 = np.asarray(got.quat), np.asarray(ref.quat)
+        assert min(np.abs(q0 - q1).max(), np.abs(q0 + q1).max()) < 1e-5
+        np.testing.assert_allclose(np.asarray(got.bias_gyr),
+                                   np.asarray(ref.bias_gyr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.grav),
+                                   np.asarray(ref.grav), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.cov),
+                                   np.asarray(ref.cov),
+                                   rtol=1e-4, atol=1e-5)
