@@ -399,10 +399,11 @@ def _process_imu_batch_assoc(
     )
 
 
-@partial(jax.jit, inline=True, static_argnames=("cfg", "log"))
+@partial(jax.jit, inline=True,
+         static_argnames=("cfg", "log", "want_twist"))
 def process_imu_batch(
     s: EkfState, imus: Imu, valid: jax.Array, *, cfg: EkfConfig,
-    log: bool = False,
+    log: bool = False, want_twist: bool = False,
 ):
     """Run a padded block of IMU samples through predict under lax.scan
     (the per-scan inner loop of the fused pipeline, SURVEY.md section 7.6).
@@ -434,17 +435,27 @@ def process_imu_batch(
             f"EkfConfig.predict_batch must be 'assoc', 'unroll' or "
             f"'pallas', got {cfg.predict_batch!r}")
 
+    def _twist(st):
+        # log(T_in^-1 @ T_out) — the EKF deskew twist (XLA fallback;
+        # the pallas kernel computes it in its epilogue)
+        from ..geom import se3
+        return se3.log_pose(se3.inv(pose_mat(s)) @ pose_mat(st))
+
     def fast_form():
         if cfg.predict_batch == "pallas":
             from ..ops.pallas_ekf import predict_block_pallas
             return predict_block_pallas(
                 s, imus, valid, cfg=cfg,
-                interpret=(jax.default_backend() != "tpu"))
-        return _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
+                interpret=(jax.default_backend() != "tpu"),
+                want_twist=want_twist)
+        st = _process_imu_batch_assoc(s, imus, valid, cfg=cfg)
+        return (st, _twist(st)) if want_twist else st
 
     use_fast = cfg.predict_batch in ("assoc", "pallas")
     if not log and use_fast:
         return fast_form()
+    assert not (want_twist and log), \
+        "want_twist applies to the log=False paths"
 
     def step(state, inp):
         imu, ok = inp
@@ -468,4 +479,6 @@ def process_imu_batch(
         # carry the fast-form state so log=True and log=False runs are
         # bit-identical; the unrolled chain above only feeds the history
         out = fast_form()
-    return (out, flog) if log else out
+    if log:
+        return out, flog
+    return (out, _twist(out)) if want_twist else out

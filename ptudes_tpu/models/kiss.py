@@ -282,9 +282,17 @@ def register_scan(
         )
     new_pose = res.pose
 
-    # 7. model deviation -> adaptive threshold statistics
-    dev = se3.inv(guess) @ new_pose
-    err = _model_error(dev, cfg.max_range)
+    # 7. model deviation -> adaptive threshold statistics. The fused
+    #    ICP kernel computes the deviation norms in its epilogue (it
+    #    holds guess_inv in SMEM already); other backends leave them to
+    #    this XLA chain.
+    if getattr(res, "dev_t", None) is not None:
+        dev_dt, dev_drot = res.dev_t, res.dev_r
+    else:
+        dev = se3.inv(guess) @ new_pose
+        dev_dt = jnp.linalg.norm(se3.trans(dev))
+        dev_drot = jnp.linalg.norm(so3.log_rotmat(se3.rot(dev)))
+    err = dev_dt + 2.0 * cfg.max_range * jnp.sin(0.5 * dev_drot)
     accum = err > cfg.min_motion_th
     model_sse = state.model_sse + jnp.where(accum, err * err, 0.0)
     num_samples = state.num_samples + accum.astype(jnp.int32)
@@ -346,8 +354,8 @@ def register_scan(
     )
     aux = KissAux(
         sigma=sigma,
-        err_dt=jnp.linalg.norm(se3.trans(dev)),
-        err_drot=jnp.linalg.norm(so3.log_rotmat(se3.rot(dev))),
+        err_dt=dev_dt,
+        err_drot=dev_drot,
         num_corr=res.num_corr,
         iterations=res.iterations,
         source_count=jnp.sum(source_mask.astype(jnp.int32)),

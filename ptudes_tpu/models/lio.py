@@ -197,12 +197,20 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
                   map_slot_base: jax.Array | None = None):
         # 1. EKF predict over the scan's IMU block (reference interleaves
         #    ~10 IMUs per scan, ekf_bench.py:491-518)
-        ekf0_pose = esekf.pose_mat(state.ekf)
         flog = None
+        need_twist = cfg.deskew_mode == "ekf" and cfg.kiss.deskew
+        kernel_twist = None
         if log:
+            ekf0_pose = esekf.pose_mat(state.ekf)
             ekf1, flog = esekf.process_imu_batch(
                 state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf,
                 log=True)
+        elif need_twist:
+            # the predict form also emits the deskew twist (the pallas
+            # kernel computes it in its epilogue — no XLA pose algebra)
+            ekf1, kernel_twist = esekf.process_imu_batch(
+                state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf,
+                want_twist=True)
         else:
             ekf1 = esekf.process_imu_batch(
                 state.ekf, batch.imu, batch.imu_valid, cfg=cfg.ekf)
@@ -224,9 +232,11 @@ def make_scan_step(lut: XyzLut, cfg: PipelineConfig,
         # the block deskews the sweep exactly — including accelerations,
         # where kiss's const-velocity model lags and smears the map
         deskew_twist = None
-        if cfg.deskew_mode == "ekf" and cfg.kiss.deskew:
-            deskew_twist = se3.log_pose(
-                se3.inv(ekf0_pose) @ esekf.pose_mat(ekf1))
+        if need_twist:
+            deskew_twist = (kernel_twist if kernel_twist is not None
+                            else se3.log_pose(
+                                se3.inv(ekf0_pose)
+                                @ esekf.pose_mat(ekf1)))
 
         # skip scans with no interleaved IMUs (the reference `continue`s
         # before KISS/update, ekf_bench.py:512-518): the gate rides INTO

@@ -46,6 +46,11 @@ class IcpResult(NamedTuple):
     pose: jax.Array        # [4, 4] refined pose (world_T_scan)
     num_corr: jax.Array    # correspondences used in the last iteration
     iterations: jax.Array  # iterations until convergence (== max if never)
+    # model deviation |trans| / |log rot| of guess^-1 @ pose, filled by
+    # the fused-loop kernel (computed in its epilogue — the adaptive
+    # threshold inputs); None on paths that leave it to the caller
+    dev_t: jax.Array | None = None
+    dev_r: jax.Array | None = None
 
 
 class CandidateSet(NamedTuple):
@@ -430,7 +435,7 @@ def register_frame_cached(
         import os
 
         from .pallas_icp import icp_loop_pallas
-        pose, n_corr, iters = icp_loop_pallas(
+        pose, n_corr, iters, dev_t, dev_r = icp_loop_pallas(
             source, prepped0, guess, kernel, max_d2, convergence,
             plane_min_quality=plane_min_quality,
             max_iterations=max_iterations,
@@ -440,7 +445,8 @@ def register_frame_cached(
             # PTUDES_ICP_LOOP_MODE=fori_cond (bit-identical result)
             loop_mode=os.environ.get("PTUDES_ICP_LOOP_MODE", "while"),
             interpret=(jax.default_backend() != "tpu"))
-        return IcpResult(pose=pose, num_corr=n_corr, iterations=iters)
+        return IcpResult(pose=pose, num_corr=n_corr, iterations=iters,
+                         dev_t=dev_t, dev_r=dev_r)
 
     def gn_step(t_cur, cand, converged, n_corr, iters):
         # freeze on the iteration cap as well as convergence: with

@@ -40,8 +40,9 @@ _I_POS, _I_VEL, _I_R = 0, 3, 6           # pos[3] vel[3] R[9] (row-major)
 _I_BG, _I_BA, _I_G = 15, 18, 21          # biases + gravity
 _I_TS, _I_INIT = 24, 25                  # carried ts, initialized flag
 # imu input SMEM layout (K, 8): [lacc3 | avel3 | ts | valid]
-# scal output SMEM layout (1, 32): pos[3] vel[3] R[9] ts init
+# scal output SMEM layout (1, 32): pos[3] vel[3] R[9] ts init twist[6]
 _O_POS, _O_VEL, _O_R, _O_TS, _O_INIT = 0, 3, 6, 15, 16
+_O_TWIST = 17   # log(T_in^-1 @ T_out) — the EKF deskew twist
 
 STATE = 18
 POS, VEL, PHI, BG, BA = 0, 3, 6, 9, 12
@@ -90,6 +91,8 @@ def _make_kernel(k_steps: int, acc_bias_std: float, gyr_bias_std: float,
         grav = [scal_ref[0, _I_G + i] for i in range(3)]
         ts = scal_ref[0, _I_TS]
         init = scal_ref[0, _I_INIT]          # 0.0 / 1.0
+        r0 = list(r)                          # entry pose for the twist
+        p0 = list(pos)
 
         p = cov_ref[:]                        # [18, 18] f32 VMEM
         ir = jax.lax.broadcasted_iota(jnp.int32, (STATE, STATE), 0)
@@ -173,6 +176,24 @@ def _make_kernel(k_steps: int, acc_bias_std: float, gyr_bias_std: float,
         out_ref[0, _O_TS] = ts
         out_ref[0, _O_INIT] = init
         cov_out_ref[:] = p
+
+        # deskew twist log(T_in^-1 @ T_out) — the EKF-integrated sweep
+        # motion the LIO pipeline feeds to deskew_by_twist; computing it
+        # here removes the XLA chain (2x quat_to_mat + inv + matmul +
+        # log_pose, ~40 small ops) from the scan body
+        from .pallas_icp import _log_pose_scalars
+        r0t = (r0[0], r0[3], r0[6], r0[1], r0[4], r0[7],
+               r0[2], r0[5], r0[8])
+        rel_r = _matmul3_scalars(r0t, r)
+        dp = (pos[0] - p0[0], pos[1] - p0[1], pos[2] - p0[2])
+        rel_t = (
+            r0t[0] * dp[0] + r0t[1] * dp[1] + r0t[2] * dp[2],
+            r0t[3] * dp[0] + r0t[4] * dp[1] + r0t[5] * dp[2],
+            r0t[6] * dp[0] + r0t[7] * dp[1] + r0t[8] * dp[2],
+        )
+        tw = _log_pose_scalars(rel_r, rel_t)
+        for i in range(6):
+            out_ref[0, _O_TWIST + i] = tw[i]
 
     return kernel
 
@@ -412,14 +433,19 @@ def update_pose_pallas(s, pose_meas, meas_cov, *, joseph: bool = True,
     )
 
 
-@partial(jax.jit, inline=True, static_argnames=("cfg", "interpret"))
-def predict_block_pallas(s, imus, valid, *, cfg, interpret: bool = False):
+@partial(jax.jit, inline=True,
+         static_argnames=("cfg", "interpret", "want_twist"))
+def predict_block_pallas(s, imus, valid, *, cfg, interpret: bool = False,
+                         want_twist: bool = False):
     """One-launch EKF predict over a padded IMU block.
 
     Same in/out contract as ``esekf._process_imu_batch_assoc``: takes an
     ``EkfState`` + stacked ``Imu[K]`` + valid mask, returns the advanced
     ``EkfState``. The biases and gravity are predict-invariant
     (reference es_ekf.py:191-257) and pass through.
+
+    ``want_twist=True`` additionally returns ``log(T_in^-1 @ T_out)``
+    (the EKF deskew twist, computed in the kernel epilogue).
     """
     from ..geom import so3
     from ..models.esekf import EkfState
@@ -460,7 +486,7 @@ def predict_block_pallas(s, imus, valid, *, cfg, interpret: bool = False):
     )(scal, imu_rows, s.cov.astype(jnp.float32))
 
     quat = so3.mat_to_quat(out[0, _O_R:_O_R + 9].reshape(3, 3))
-    return EkfState(
+    st = EkfState(
         pos=out[0, _O_POS:_O_POS + 3],
         vel=out[0, _O_VEL:_O_VEL + 3],
         quat=quat,
@@ -469,3 +495,6 @@ def predict_block_pallas(s, imus, valid, *, cfg, interpret: bool = False):
         imu_ts=out[0, _O_TS],
         initialized=out[0, _O_INIT] > 0,
     )
+    if want_twist:
+        return st, out[0, _O_TWIST:_O_TWIST + 6]
+    return st

@@ -43,8 +43,11 @@ _S_PRW, _S_PTW = 4, 5
 _S_POSE = 8       # rows 8..19: guess, row-major [r00 r01 r02 t0; ...]
 _S_POSE_INV = 20  # rows 20..31: inverse guess, same layout
 
-# out SMEM layout (1, 16): 0..11 pose, 12 n_corr, 13 iters
-_O_POSE, _O_NCORR, _O_ITERS = 0, 12, 13
+# out SMEM layout (1, 16): 0..11 pose, 12 n_corr, 13 iters,
+# 14 |trans(guess^-1 pose)|, 15 |log rot(guess^-1 pose)| (the model
+# deviation the adaptive threshold consumes — computed in the kernel
+# epilogue since guess_inv is already in SMEM)
+_O_POSE, _O_NCORR, _O_ITERS, _O_DEVT, _O_DEVR = 0, 12, 13, 14, 15
 
 
 def _solve_spd6_scalars(a, b):
@@ -406,6 +409,20 @@ def _make_loop_kernel(max_iterations: int, use_prior: bool,
         out_ref[0, _O_NCORR] = n_corr
         out_ref[0, _O_ITERS] = iters.astype(jnp.float32)
 
+        # model deviation dev = guess^-1 @ pose for the adaptive
+        # threshold (kiss AdaptiveThreshold inputs,
+        # reference src/ptudes/kiss.py:116-128)
+        gi_r2 = tuple(scal_ref[0, _S_POSE_INV + k]
+                      for k in (0, 1, 2, 4, 5, 6, 8, 9, 10))
+        gi_t2 = tuple(scal_ref[0, _S_POSE_INV + k] for k in (3, 7, 11))
+        dev_r, dev_t = _compose_scalars(
+            gi_r2, gi_t2, tuple(pose[:9]), tuple(pose[9:]))
+        out_ref[0, _O_DEVT] = jnp.sqrt(
+            dev_t[0] ** 2 + dev_t[1] ** 2 + dev_t[2] ** 2)
+        wlog = _log_pose_scalars(dev_r, (0.0, 0.0, 0.0))
+        out_ref[0, _O_DEVR] = jnp.sqrt(
+            wlog[0] ** 2 + wlog[1] ** 2 + wlog[2] ** 2)
+
     return kernel
 
 
@@ -429,8 +446,10 @@ def icp_loop_pallas(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Run the whole frozen-candidate GN ICP in one kernel launch.
 
-    Returns (pose [4,4], n_corr, iters) identical (to f32 roundoff) to
-    the XLA while_loop around ``pallas_gn.gn_prepped_pallas``.
+    Returns (pose [4,4], n_corr, iters, dev_t, dev_r) — the pose triple
+    identical (to f32 roundoff) to the XLA while_loop around
+    ``pallas_gn.gn_prepped_pallas``, plus the model-deviation norms of
+    ``guess^-1 @ pose`` computed in the kernel epilogue.
     """
     from ..geom import se3
 
@@ -486,4 +505,5 @@ def icp_loop_pallas(
         [out[:12].reshape(3, 4),
          jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0)
     return (pose, out[_O_NCORR].astype(jnp.int32),
-            out[_O_ITERS].astype(jnp.int32))
+            out[_O_ITERS].astype(jnp.int32),
+            out[_O_DEVT], out[_O_DEVR])

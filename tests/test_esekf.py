@@ -374,3 +374,32 @@ def test_update_pose_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(got.cov),
                                    np.asarray(ref.cov),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_predict_twist_forms_agree():
+    """want_twist must return log(T_in^-1 @ T_out) on every predict
+    form (the pallas kernel computes it in its epilogue; the others in
+    XLA) — the LIO deskew consumes it."""
+    from ptudes_tpu.geom import se3
+
+    rng = np.random.default_rng(9)
+    k = 12
+    imus = Imu(
+        lacc=jnp.asarray(rng.normal(0, 1, (k, 3)) + [0, 0, 9.78],
+                         jnp.float32),
+        avel=jnp.asarray(rng.normal(0, 0.3, (k, 3)), jnp.float32),
+        ts=jnp.asarray(np.arange(1, k + 1) * 0.01, jnp.float32))
+    valid = jnp.asarray(np.arange(k) < 10)
+    twists = {}
+    for form in ("assoc", "unroll", "pallas"):
+        cfg = EkfConfig(predict_batch=form)
+        s = esekf.init_state(cfg)
+        st, tw = esekf.process_imu_batch(s, imus, valid, cfg=cfg,
+                                         want_twist=True)
+        ref = se3.log_pose(
+            se3.inv(esekf.pose_mat(s)) @ esekf.pose_mat(st))
+        np.testing.assert_allclose(np.asarray(tw), np.asarray(ref),
+                                   atol=2e-5)
+        twists[form] = np.asarray(tw)
+    np.testing.assert_allclose(twists["assoc"], twists["pallas"],
+                               atol=2e-5)
