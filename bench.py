@@ -100,7 +100,9 @@ def bench_config():
         # +0.7% interleaved A/B at identical ATE and cold compile
         # 45 -> 33 s (tools/exp_r5_update.py)
         ekf=EkfConfig(predict_batch="pallas", update_form="pallas"),
-        max_imu_per_scan=16,
+        # K=12: the sim emits exactly 10 IMU samples per scan interval,
+        # so 12 leaves headroom with zero drops; +1% (r5 loop-knob sweep)
+        max_imu_per_scan=12,
         guess="ekf",
         # bootstrap 3 + decimated steady insert (round-4 matrix,
         # tools/exp_r4.py): the r4 trace showed the exact "cond" steady
@@ -115,10 +117,13 @@ def bench_config():
         # semantics on arbitrary scenes); this is the bench shape.
         bootstrap_scans=3,
         steady_insert_mode=False,
-        # unroll=2 pays the lax.scan boundary's carry copies once per two
-        # scans: 273.6 -> 279.1 scans/s measured (r3); unroll=4 regresses
-        # to 262.8 (scheduling pressure), so 2 is the sweet spot
-        scan_unroll=2,
+        # unroll: pays the lax.scan boundary's carry copies once per N
+        # scans. The sweet spot tracks the body weight: 2 on the r3/r4
+        # bodies (4 regressed under scheduling pressure), but the r5
+        # body — three mega-kernels + epilogue folds lighter — flips it:
+        # unroll4 445.4 -> 452.5 scans/s at identical ATE
+        # (tools/exp_r5_loopknobs.py)
+        scan_unroll=4,
     )
 
 
