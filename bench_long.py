@@ -102,7 +102,7 @@ def main():
         guess="ekf",
         bootstrap_scans=3,
         steady_insert_mode=False,
-        scan_unroll=2,
+        scan_unroll=4,
     )
     ppv = cfg.kiss.max_points_per_voxel
 
